@@ -33,16 +33,31 @@ BIG = 1e10
 def make_frame(n: jax.Array) -> jax.Array:
     """Orthonormal contact frame rows [normal; tangent1; tangent2].
 
-    Mirrors mju_makeFrame's choice of reference axis so contact frames (and
-    hence pyramidal facet directions) match MuJoCo's.
+    Matches mju_makeFrame (verified empirically vs CPU MuJoCo): the second
+    tangent is normalize(cross(n, ref)) with ref = y-hat when |n_y| < 0.5
+    else z-hat, and tangent1 = cross(tangent2, n). Facet directions of the
+    pyramidal cone depend on this, so it must match exactly.
     """
     y = jnp.array([0.0, 1.0, 0.0], n.dtype)
     z = jnp.array([0.0, 0.0, 1.0], n.dtype)
     ref = jnp.where(jnp.abs(n[1]) < 0.5, y, z)
-    t1 = jnp.cross(n, ref)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-15)
-    t2 = jnp.cross(n, t1)
+    t2 = jnp.cross(n, ref)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-15)
+    t1 = jnp.cross(t2, n)
     return jnp.stack([n, t1, t2])
+
+
+def axis_frame(n: jax.Array, axis: jax.Array) -> jax.Array:
+    """Contact frame with tangent1 = axis projected onto the plane of n.
+
+    Mirrors mjc_PlaneCapsule's frame: t1 = normalize(axis - (axis.n) n),
+    t2 = cross(n, t1); falls back to make_frame when axis ~ parallel to n.
+    """
+    t1 = axis - jnp.dot(axis, n) * n
+    norm = jnp.linalg.norm(t1)
+    t1 = t1 / jnp.maximum(norm, 1e-15)
+    t2 = jnp.cross(n, t1)
+    return jnp.where(norm > 1e-10, jnp.stack([n, t1, t2]), make_frame(n))
 
 
 def _plane_sphere(pp, pn, c, r):
@@ -62,12 +77,13 @@ def _sphere_sphere(c1, r1, c2, r2):
 
 def _plane_capsule(pp, pn, c, axis, r, hl):
     e1, e2 = c + axis * hl, c - axis * hl
-    d1, p1, f1 = _plane_sphere(pp, pn, e1, r)
-    d2, p2, f2 = _plane_sphere(pp, pn, e2, r)
+    d1, p1, _ = _plane_sphere(pp, pn, e1, r)
+    d2, p2, _ = _plane_sphere(pp, pn, e2, r)
+    frame = axis_frame(pn, axis)[None]
     return (
         jnp.concatenate([d1, d2]),
         jnp.concatenate([p1, p2]),
-        jnp.concatenate([f1, f2]),
+        jnp.concatenate([frame, frame]),
     )
 
 

@@ -19,6 +19,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the unrolled physics pipelines are compile-heavy,
+# and the cache cuts repeat test runs from minutes to seconds
+_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "dial_mpc_tpu", "models")
 
 
