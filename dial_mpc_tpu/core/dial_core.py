@@ -1,0 +1,183 @@
+"""DIAL-MPC planner core: annealed MPPI over spline-node trajectories.
+
+Re-architecture of the reference MBDPI (dial_mpc/core/dial_core.py:51-172)
+for TPU execution:
+
+- The node<->control spline transforms are precomputed linear maps
+  (utils/spline.py), so sampling + interpolation + weighting are batched
+  GEMMs on the MXU instead of per-sample banded solves.
+- One **fused control step** ``control_step(state, Y, rng)`` compiles env
+  advance + plan shift + the full Ndiffuse annealing scan into a single XLA
+  program — zero host round-trips inside a 20 ms control budget (the
+  reference re-enters Python between env.step and the anneal scan,
+  dial_core.py:242-264).
+- The sample axis is shard-ready: ``reverse_once`` only touches the sample
+  axis through mean/std/softmax-einsum reductions, which
+  parallel.sharded_reverse_once maps to psum collectives on a device mesh.
+
+RNG parity: the single-device sampling stream reproduces the reference's
+split order (split -> normal of shape (Nsample, Hnode+1, nu)) so identical
+seeds yield identical plans (dial_core.py:104-115).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dial_mpc_tpu.core.dial_config import DialConfig
+from dial_mpc_tpu.utils.spline import FixedSpline
+
+
+def rollout_us(step_env, state, us):
+    """Roll a dense control sequence through the environment (scan)."""
+
+    def step(state, u):
+        state = step_env(state, u)
+        return state, (state.reward, state.pipeline_state)
+
+    _, (rews, pipeline_states) = jax.lax.scan(step, state, us)
+    return rews, pipeline_states
+
+
+class MBDPI:
+    """Model-Based Diffusion Planner with annealed MPPI updates."""
+
+    def __init__(self, args: DialConfig, env):
+        self.args = args
+        self.env = env
+        self.nu = env.action_size
+
+        if args.update_method != "mppi":
+            raise ValueError(f"unknown update_method {args.update_method!r}")
+
+        # per-node noise schedule (reference: dial_core.py:66-70)
+        self.sigma_control = (
+            args.horizon_diffuse_factor ** jnp.arange(args.Hnode + 1)[::-1]
+        ) * args.sigma_scale
+
+        # spline time grids; ctrl_dt mirrors the reference's fixed 0.02
+        # (dial_core.py:74 — configs must keep dt: 0.02 in sync)
+        self.ctrl_dt = 0.02
+        self.step_us = np.linspace(0, self.ctrl_dt * args.Hsample, args.Hsample + 1)
+        self.step_nodes = np.linspace(0, self.ctrl_dt * args.Hsample, args.Hnode + 1)
+        self.node_dt = self.ctrl_dt * args.Hsample / args.Hnode
+
+        # precomputed spline transforms (node->dense and dense->node)
+        self.n2u = FixedSpline(self.step_nodes, self.step_us)
+        self.u2n = FixedSpline(self.step_us, self.step_nodes)
+
+        # jitted entry points
+        self.rollout_us = jax.jit(functools.partial(rollout_us, self.env.step))
+        self.rollout_us_vmap = jax.jit(jax.vmap(self.rollout_us, in_axes=(None, 0)))
+        self.reverse_once_jit = jax.jit(self.reverse_once)
+        self.shift_jit = jax.jit(self.shift)
+
+    # -- spline transforms (batched linear maps) ----------------------------
+
+    def node2u(self, nodes: jax.Array) -> jax.Array:
+        """(..., Hnode+1, nu) -> (..., Hsample+1, nu)."""
+        return self.n2u.apply(nodes)
+
+    def u2node(self, us: jax.Array) -> jax.Array:
+        """(..., Hsample+1, nu) -> (..., Hnode+1, nu)."""
+        return self.u2n.apply(us)
+
+    # aliases matching the reference's vmapped names (they batch for free)
+    node2u_vmap = node2u
+    u2node_vmap = u2node
+    node2u_vvmap = node2u
+    u2node_vvmap = u2node
+
+    # -- one annealing level ------------------------------------------------
+
+    def reverse_once(
+        self, state, rng: jax.Array, Ybar_i: jax.Array, noise_scale: jax.Array
+    ):
+        """Sample -> rollout -> softmax-weighted update (dial_core.py:103-145)."""
+        rng, Y0s_rng = jax.random.split(rng)
+        eps_Y = jax.random.normal(
+            Y0s_rng, (self.args.Nsample, self.args.Hnode + 1, self.nu)
+        )
+        Y0s = eps_Y * noise_scale[None, :, None] + Ybar_i
+        # first node is pinned: it is already being executed
+        Y0s = Y0s.at[:, 0].set(Ybar_i[0])
+        # evaluate the current mean alongside the samples
+        Y0s = jnp.concatenate([Y0s, Ybar_i[None]], axis=0)
+        Y0s = jnp.clip(Y0s, -1.0, 1.0)
+
+        us = self.node2u(Y0s)  # (Nsample+1, Hsample+1, nu) — one GEMM
+
+        rewss, pipeline_statess = self.rollout_us_vmap(state, us)
+        rew_Ybar_i = rewss[-1].mean()
+        qss = pipeline_statess.qpos
+        qdss = pipeline_statess.qvel
+        xss = pipeline_statess.x_pos
+        rews = rewss.mean(axis=-1)
+        logp0 = (rews - rew_Ybar_i) / rews.std(axis=-1) / self.args.temp_sample
+
+        weights = jax.nn.softmax(logp0)
+        Ybar = jnp.einsum("n,nij->ij", weights, Y0s)
+        qbar = jnp.einsum("n,nij->ij", weights, qss)
+        qdbar = jnp.einsum("n,nij->ij", weights, qdss)
+        xbar = jnp.einsum("n,nijk->ijk", weights, xss)
+
+        info = {
+            "rews": rews,
+            "qbar": qbar,
+            "qdbar": qdbar,
+            "xbar": xbar,
+            "new_noise_scale": noise_scale,
+        }
+        return rng, Ybar, info
+
+    # -- plan warm-start shift ---------------------------------------------
+
+    def shift(self, Y: jax.Array) -> jax.Array:
+        """Advance the plan one control step (dial_core.py:160-166)."""
+        u = self.node2u(Y)
+        u = jnp.roll(u, -1, axis=0)
+        u = u.at[-1].set(jnp.zeros(self.nu))
+        return self.u2node(u)
+
+    def shift_Y_from_u(self, u: jax.Array, n_step: int) -> jax.Array:
+        u = jnp.roll(u, -n_step, axis=0)
+        u = u.at[-n_step:].set(jnp.zeros_like(u[-n_step:]))
+        return self.u2node(u)
+
+    # -- annealing schedule -------------------------------------------------
+
+    def diffuse_factors(self, n_diffuse: int) -> jax.Array:
+        """(n_diffuse, Hnode+1) noise scales (dial_core.py:259-261)."""
+        return (
+            self.sigma_control
+            * self.args.traj_diffuse_factor ** jnp.arange(n_diffuse)[:, None]
+        )
+
+    # -- fused control step -------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def control_step(
+        self, state, Y: jax.Array, rng: jax.Array, n_diffuse: int
+    ) -> Tuple[object, jax.Array, jax.Array, dict]:
+        """One receding-horizon step as a single on-device program.
+
+        env.step with the executing control, plan shift, then n_diffuse
+        annealing levels. Returns (state', Y', rng', info-of-last-level).
+        """
+        state = self.env.step(state, Y[0])
+        Y = self.shift(Y)
+
+        def reverse_scan(carry, factor):
+            rng, Y, st = carry
+            rng, Y, info = self.reverse_once(st, rng, Y, factor)
+            return (rng, Y, st), info
+
+        (rng, Y, _), info = jax.lax.scan(
+            reverse_scan, (rng, Y, state), self.diffuse_factors(n_diffuse)
+        )
+        return state, Y, rng, info

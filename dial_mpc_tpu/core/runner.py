@@ -1,0 +1,166 @@
+"""Synchronous receding-horizon driver (the ``dial-mpc`` entry point).
+
+Counterpart of the reference's dial_mpc/core/dial_core.py:175-333 `main`:
+load a flat YAML into DialConfig + env config, build the env and planner,
+run n_steps of receding-horizon control, dump artifacts.
+
+TPU redesign: each control step is ONE compiled program
+(MBDPI.control_step) — env advance, plan shift and the full annealing scan
+stay on device; the host loop only extracts telemetry. The first step runs
+a separately-compiled Ndiffuse_init-level program (static shapes, no
+recompiles afterward).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+import dial_mpc_tpu.envs as dial_envs
+from dial_mpc_tpu.core.dial_config import DialConfig
+from dial_mpc_tpu.core.dial_core import MBDPI
+from dial_mpc_tpu.examples import examples
+from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
+
+
+def run(config_dict, progress=True):
+    """Run the sync receding-horizon loop; returns (summary dict)."""
+    dial_config = load_dataclass_from_dict(DialConfig, config_dict)
+    rng = jax.random.PRNGKey(seed=dial_config.seed)
+
+    env_config_type = dial_envs.get_config(dial_config.env_name)
+    env_config = load_dataclass_from_dict(
+        env_config_type, config_dict, convert_list_to_array=True
+    )
+    env = dial_envs.get_environment(dial_config.env_name, env_config)
+    mbdpi = MBDPI(dial_config, env)
+
+    rng, rng_reset = jax.random.split(rng)
+    state = jax.jit(env.reset)(rng_reset)
+    rng, _rng_exp = jax.random.split(rng)  # keep the reference's stream order
+
+    Y0 = jnp.zeros([dial_config.Hnode + 1, mbdpi.nu])
+
+    rollout_states = []
+    ctrls = []
+    rews = []
+    rews_plan = []
+    predictions = []
+    freqs = []
+
+    try:
+        from tqdm import tqdm
+
+        iterator = tqdm(range(dial_config.n_steps), desc="Rollout", disable=not progress)
+    except ImportError:  # pragma: no cover
+        iterator = range(dial_config.n_steps)
+
+    for t in iterator:
+        n_diffuse = (
+            dial_config.Ndiffuse_init if t == 0 else dial_config.Ndiffuse
+        )
+        u_exec = Y0[0]
+        t0 = time.time()
+        state, Y0, rng, info = mbdpi.control_step(state, Y0, rng, n_diffuse)
+        jax.block_until_ready(Y0)
+        elapsed = time.time() - t0
+
+        rollout_states.append(
+            jax.device_get(
+                (
+                    state.pipeline_state.qpos,
+                    state.pipeline_state.qvel,
+                    state.pipeline_state.ctrl,
+                )
+            )
+        )
+        ctrls.append(np.asarray(u_exec))
+        rews.append(float(state.reward))
+        rews_plan.append(float(info["rews"][-1].mean()))
+        predictions.append(np.asarray(info["xbar"][-1]))
+        freqs.append(1.0 / max(elapsed, 1e-9))
+        if hasattr(iterator, "set_postfix"):
+            iterator.set_postfix(
+                {"rew": f"{float(state.reward):.2e}", "freq": f"{freqs[-1]:.2f}"}
+            )
+
+    mean_rew = float(np.mean(rews))
+    print(f"mean reward = {mean_rew:.2e}")
+
+    # ---- artifacts (reference: dial_core.py:277-323) ----
+    os.makedirs(dial_config.output_dir, exist_ok=True)
+    timestamp = time.strftime("%Y%m%d-%H%M%S")
+    data = np.array(
+        [
+            np.concatenate([[i], q, qd, ctrl])
+            for i, (q, qd, ctrl) in enumerate(rollout_states)
+        ]
+    )
+    xdata = np.array(predictions)
+    np.save(os.path.join(dial_config.output_dir, f"{timestamp}_states"), data)
+    np.save(os.path.join(dial_config.output_dir, f"{timestamp}_predictions"), xdata)
+
+    # standalone HTML trajectory viewer
+    try:
+        from dial_mpc_tpu.viz.html_viewer import render_trajectory
+
+        html_path = os.path.join(
+            dial_config.output_dir, f"{timestamp}_visualization.html"
+        )
+        render_trajectory(env.mj_model, data[:, 1 : 1 + env.mj_model.nq], html_path)
+        print(f"visualization written to {html_path}")
+    except Exception as e:  # viz is best-effort
+        print(f"[WARN] visualization skipped: {e}")
+
+    return {
+        "mean_reward": mean_rew,
+        "rews": rews,
+        "rews_plan": rews_plan,
+        "freqs": freqs,
+        "states_path": os.path.join(
+            dial_config.output_dir, f"{timestamp}_states.npy"
+        ),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--config", type=str, default=None)
+    group.add_argument("--example", type=str, default=None)
+    group.add_argument("--list-examples", action="store_true")
+    parser.add_argument(
+        "--custom-env", type=str, default=None, help="import path of a module that self-registers envs"
+    )
+    args = parser.parse_args()
+
+    if args.list_examples:
+        print("Examples:")
+        for example in examples:
+            print(f"  {example}")
+        return
+
+    if args.custom_env is not None:
+        sys.path.append(os.getcwd())
+        importlib.import_module(args.custom_env)
+
+    if args.example is not None:
+        config_path = get_example_path(args.example + ".yaml")
+    else:
+        config_path = args.config
+    with open(config_path) as f:
+        config_dict = yaml.safe_load(f)
+
+    run(config_dict)
+
+
+if __name__ == "__main__":
+    main()
