@@ -71,7 +71,11 @@ class BaseEnv:
         # does via sys.jnt_range[1:], base_env.py:23-25)
         self.physical_joint_range = jnp.asarray(mj_model.jnt_range[1:])
         self.joint_range = self.physical_joint_range
-        self.joint_torque_range = jnp.asarray(mj_model.actuator_ctrlrange)
+        # unlimited actuators clip to +/-inf (brax mjcf.load convention the
+        # reference relies on — Go2's motors declare no ctrlrange)
+        ctrl_range = np.array(mj_model.actuator_ctrlrange, dtype=np.float64)
+        ctrl_range[mj_model.actuator_ctrllimited == 0] = [-np.inf, np.inf]
+        self.joint_torque_range = jnp.asarray(ctrl_range)
 
         self._nv = mj_model.nv
         self._nq = mj_model.nq

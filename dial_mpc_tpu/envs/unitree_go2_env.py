@@ -109,21 +109,22 @@ class UnitreeGo2Env(BaseEnv):
     def reset(self, rng: jax.Array) -> State:
         rng, key = jax.random.split(rng)
         pipeline_state = self.pipeline_init(self._init_q, jnp.zeros(self._nv))
+        f32 = jnp.float32  # pin: physics runs f32 regardless of x64 mode
         state_info = {
             "rng": rng,
-            "pos_tar": jnp.array([0.282, 0.0, 0.3]),
-            "vel_tar": jnp.array([0.0, 0.0, 0.0]),
-            "ang_vel_tar": jnp.array([0.0, 0.0, 0.0]),
-            "yaw_tar": 0.0,
+            "pos_tar": jnp.array([0.282, 0.0, 0.3], f32),
+            "vel_tar": jnp.array([0.0, 0.0, 0.0], f32),
+            "ang_vel_tar": jnp.array([0.0, 0.0, 0.0], f32),
+            "yaw_tar": jnp.asarray(0.0, f32),
             "step": 0,
-            "z_feet": jnp.zeros(4),
-            "z_feet_tar": jnp.zeros(4),
+            "z_feet": jnp.zeros(4, f32),
+            "z_feet_tar": jnp.zeros(4, f32),
             "randomize_target": self._config.randomize_tasks,
             "last_contact": jnp.zeros(4, dtype=jnp.bool_),
-            "feet_air_time": jnp.zeros(4),
+            "feet_air_time": jnp.zeros(4, f32),
         }
         obs = self._get_obs(pipeline_state, state_info)
-        reward, done = jnp.zeros(2)
+        reward, done = jnp.zeros(2, f32)
         return State(pipeline_state, obs, reward, done, {}, state_info)
 
     def step(self, state: State, action: jax.Array) -> State:
@@ -143,10 +144,14 @@ class UnitreeGo2Env(BaseEnv):
 
         # command update: ramp toward (possibly re-randomized) target
         # (reference: :142-162)
+        f32 = jnp.float32
+
         def dont_randomize():
             return (
-                jnp.array([self._config.default_vx, self._config.default_vy, 0.0]),
-                jnp.array([0.0, 0.0, self._config.default_vyaw]),
+                jnp.array(
+                    [self._config.default_vx, self._config.default_vy, 0.0], f32
+                ),
+                jnp.array([0.0, 0.0, self._config.default_vyaw], f32),
             )
 
         vel_tar, ang_vel_tar = jax.lax.cond(
@@ -158,11 +163,11 @@ class UnitreeGo2Env(BaseEnv):
         info["vel_tar"] = jnp.minimum(
             vel_tar * state.info["step"] * self.dt / self._config.ramp_up_time,
             vel_tar,
-        )
+        ).astype(f32)
         info["ang_vel_tar"] = jnp.minimum(
             ang_vel_tar * state.info["step"] * self.dt / self._config.ramp_up_time,
             ang_vel_tar,
-        )
+        ).astype(f32)
 
         # ---- reward stack (reference: :164-239) ----
         torso = self._torso_idx - 1
@@ -241,6 +246,7 @@ class UnitreeGo2Env(BaseEnv):
             + reward_energy * 0.00
             + reward_alive * 0.0
         )
+        reward = jnp.asarray(reward, f32)
 
         # termination (reference: :241-248)
         up = jnp.array([0.0, 0.0, 1.0])
@@ -254,9 +260,9 @@ class UnitreeGo2Env(BaseEnv):
         # bookkeeping (reference: :250-260)
         info["step"] = state.info["step"] + 1
         info["rng"] = rng
-        info["z_feet"] = z_feet
-        info["z_feet_tar"] = z_feet_tar
-        info["feet_air_time"] = feet_air_time * ~contact_filt_mm
+        info["z_feet"] = z_feet.astype(f32)
+        info["z_feet_tar"] = z_feet_tar.astype(f32)
+        info["feet_air_time"] = (feet_air_time * ~contact_filt_mm).astype(f32)
         info["last_contact"] = contact
 
         return state.replace(
@@ -288,10 +294,11 @@ class UnitreeGo2Env(BaseEnv):
 
     def sample_command(self, rng: jax.Array):
         # (reference: :298-315)
+        f32 = jnp.float32
         _, key1, key2, key3 = jax.random.split(rng, 4)
-        lin_vel_x = jax.random.uniform(key1, (1,), minval=-1.5, maxval=1.5)
-        lin_vel_y = jax.random.uniform(key2, (1,), minval=-0.5, maxval=0.5)
-        ang_vel_yaw = jax.random.uniform(key3, (1,), minval=-1.5, maxval=1.5)
+        lin_vel_x = jax.random.uniform(key1, (1,), f32, minval=-1.5, maxval=1.5)
+        lin_vel_y = jax.random.uniform(key2, (1,), f32, minval=-0.5, maxval=0.5)
+        ang_vel_yaw = jax.random.uniform(key3, (1,), f32, minval=-1.5, maxval=1.5)
         new_lin_vel_cmd = jnp.array([lin_vel_x[0], lin_vel_y[0], 0.0])
         new_ang_vel_cmd = jnp.array([0.0, 0.0, ang_vel_yaw[0]])
         return new_lin_vel_cmd, new_ang_vel_cmd

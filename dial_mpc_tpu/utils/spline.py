@@ -2,12 +2,14 @@
 
 The reference obtains its node<->dense-control transforms by constructing a
 jax_cosmo ``InterpolatedUnivariateSpline(k=2)`` inside jit on every call
-(reference: dial_mpc/core/dial_core.py:91-101) — re-solving the same banded
-system for every sample, every diffusion level.
+(reference: dial_mpc/core/dial_core.py:91-101) — re-solving the same system
+for every sample, every diffusion level. jax_cosmo mimics scipy's FITPACK
+splines, so the public, verifiable target here is
+``scipy.interpolate.InterpolatedUnivariateSpline(x, y, k=2)``.
 
 TPU-first redesign: spline *fitting* and *evaluation at fixed queries* are
-both linear in the data values, so for the fixed time grids used everywhere
-in DIAL-MPC the whole transform collapses to one precomputed matrix:
+both linear in the data values, so for the fixed time grids used throughout
+DIAL-MPC the whole transform collapses to one precomputed matrix:
 
     u = node2u_mat @ nodes        # (Hsample+1, Hnode+1) @ (Hnode+1, nu)
 
@@ -15,13 +17,13 @@ Batched over thousands of samples this is a single GEMM on the MXU instead
 of per-call banded solves. The dynamic-shift path (evaluation at runtime
 query points, needed by the async planner's wall-clock resampling,
 reference: dial_mpc/deploy/dial_plan.py:136-139) keeps the precomputed
-slope map and does a static-shape interval search.
+y->coefficient map and runs a static-shape de Boor evaluation.
 
-Spline semantics: C1 piecewise-quadratic through the data with knots at the
-data sites. Slopes s solve  s[i] + s[i+1] = 2*(y[i+1]-y[i])/h[i]  plus a
-not-a-knot closure (equal curvature on the first two intervals), matching
-the jax_cosmo default (`endpoints="not-a-knot"`). Out-of-range queries
-extrapolate the end polynomial pieces.
+Construction matches FITPACK's interpolating quadratic spline: clamped
+knot vector with interior knots at data midpoints
+(t = [x0 x0 x0, (x1+x2)/2 ... , xn xn xn]), coefficients from the
+collocation solve. Out-of-range queries extrapolate the end polynomial
+pieces (scipy ext=0 behavior). Verified against scipy in tests.
 """
 
 from __future__ import annotations
@@ -30,59 +32,65 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+DEGREE = 2  # quadratic splines throughout (reference uses k=2)
 
-def slope_matrix(x: np.ndarray) -> np.ndarray:
-    """K with s = K @ y: data values -> spline slopes at the data sites."""
+
+def fitpack_knots(x: np.ndarray, k: int = DEGREE) -> np.ndarray:
+    """Clamped interpolation knot vector (FITPACK layout for even k)."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
-    if n < 2:
-        raise ValueError("need at least two data points")
-    h = np.diff(x)
-    if n == 2:  # degenerate: linear
-        K = np.zeros((2, 2))
-        K[:, 0] = -1.0 / h[0]
-        K[:, 1] = 1.0 / h[0]
-        return K
-    A = np.zeros((n, n))
+    if n < k + 1:
+        raise ValueError(f"need at least {k + 1} data points for degree {k}")
+    if k != 2:
+        raise NotImplementedError("only quadratic (k=2) splines are used")
+    interior = (x[1:-2] + x[2:-1]) / 2.0 if n > 3 else np.zeros(0)
+    return np.concatenate([np.repeat(x[0], k + 1), interior, np.repeat(x[-1], k + 1)])
+
+
+def _deboor_np(t: np.ndarray, c: np.ndarray, q: float, p: int = DEGREE) -> float:
+    """Scalar de Boor evaluation with end-piece polynomial extrapolation."""
+    m = int(np.clip(np.searchsorted(t, q, side="right") - 1, p, len(t) - p - 2))
+    d = [c[j + m - p] for j in range(p + 1)]
+    for r in range(1, p + 1):
+        for j in range(p, r - 1, -1):
+            denom = t[j + 1 + m - r] - t[j + m - p]
+            alpha = (q - t[j + m - p]) / denom
+            d[j] = (1.0 - alpha) * d[j - 1] + alpha * d[j]
+    return d[p]
+
+
+def coefficient_matrix(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(knots, K) with c = K @ y: data values -> B-spline coefficients."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    t = fitpack_knots(x)
+    # collocation matrix B[i, j] = N_j(x_i), built column-wise via de Boor
     B = np.zeros((n, n))
-    for i in range(n - 1):
-        A[i, i] = 1.0
-        A[i, i + 1] = 1.0
-        B[i, i] = -2.0 / h[i]
-        B[i, i + 1] = 2.0 / h[i]
-    # not-a-knot: (s[1]-s[0])/h[0] == (s[2]-s[1])/h[1]
-    A[n - 1, 0] = 1.0 / h[0]
-    A[n - 1, 1] = -(1.0 / h[0] + 1.0 / h[1])
-    A[n - 1, 2] = 1.0 / h[1]
-    return np.linalg.solve(A, B)
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        for i in range(n):
+            B[i, j] = _deboor_np(t, e, x[i])
+    return t, np.linalg.solve(B, np.eye(n))
 
 
 def interp_matrix(x: np.ndarray, xq: np.ndarray) -> np.ndarray:
-    """S with S @ y = spline(xq): the full fit+eval linear map.
-
-    On interval [x[i], x[i+1]]:
-        y(t) = y[i] + s[i]*dt + (s[i+1]-s[i])/(2 h[i]) * dt^2,  dt = t - x[i]
-    Queries outside the data range use the first/last interval's polynomial.
-    """
+    """S with S @ y = spline(xq): the full fit+eval linear map."""
     x = np.asarray(x, dtype=np.float64)
     xq = np.asarray(xq, dtype=np.float64)
     n = x.shape[0]
-    h = np.diff(x)
-    K = slope_matrix(x)
+    t, K = coefficient_matrix(x)
     S = np.zeros((xq.shape[0], n))
-    for q, t in enumerate(xq):
-        i = int(np.clip(np.searchsorted(x, t, side="right") - 1, 0, n - 2))
-        dt = t - x[i]
-        row = np.zeros(n)
-        row[i] = 1.0
-        row += dt * K[i]
-        row += dt * dt / (2.0 * h[i]) * (K[i + 1] - K[i])
-        S[q] = row
-    return S
+    for qi, q in enumerate(xq):
+        for j in range(n):
+            e = np.zeros(n)
+            e[j] = 1.0
+            S[qi, j] = _deboor_np(t, e, q)
+    return S @ K
 
 
 class FixedSpline:
-    """Precomputed transforms on a fixed data grid.
+    """Precomputed quadratic-spline transforms on a fixed data grid.
 
     apply(Y): evaluate at the fixed query grid — one matmul, batched over
     any leading axes (samples) and trailing axes (action dims).
@@ -92,11 +100,13 @@ class FixedSpline:
 
     def __init__(self, x_data, x_query, dtype=jnp.float32):
         self.x_data = np.asarray(x_data, dtype=np.float64)
-        self.h = np.diff(self.x_data)
-        self.matrix = jnp.asarray(interp_matrix(self.x_data, x_query), dtype=dtype)
-        self.K = jnp.asarray(slope_matrix(self.x_data), dtype=dtype)
-        self._x = jnp.asarray(self.x_data, dtype=dtype)
-        self._h = jnp.asarray(self.h, dtype=dtype)
+        knots, K = coefficient_matrix(self.x_data)
+        self.matrix = jnp.asarray(
+            interp_matrix(self.x_data, np.asarray(x_query)), dtype=dtype
+        )
+        self.K = jnp.asarray(K, dtype=dtype)  # y -> B-spline coefficients
+        self._t = jnp.asarray(knots, dtype=dtype)
+        self._nt = knots.shape[0]
 
     def apply(self, Y: jax.Array) -> jax.Array:
         """(..., n_data, nu) -> (..., n_query, nu)."""
@@ -109,17 +119,17 @@ class FixedSpline:
         at shifted sites (reference: dial_plan.py:136-139), extrapolating
         the end pieces for queries beyond the grid.
         """
-        n = self.x_data.shape[0]
-        s = self.K @ Y  # (n, nu) slopes
-        tq = self._x + dt
-        idx = jnp.clip(jnp.searchsorted(self._x, tq, side="right") - 1, 0, n - 2)
-        d = tq - self._x[idx]  # (n,)
-        y_i = Y[idx]
-        s_i = s[idx]
-        s_ip = s[idx + 1]
-        h_i = self._h[idx]
-        return (
-            y_i
-            + d[:, None] * s_i
-            + (d * d / (2.0 * h_i))[:, None] * (s_ip - s_i)
-        )
+        p = DEGREE
+        t = self._t
+        c = self.K @ Y  # (n, nu) coefficients
+        q = jnp.asarray(self.x_data, dtype=t.dtype) + dt  # (n,)
+        m = jnp.clip(jnp.searchsorted(t, q, side="right") - 1, p, self._nt - p - 2)
+
+        # vectorized de Boor over the query points
+        d = [c[m + j - p] for j in range(p + 1)]  # each (n, nu)
+        for r in range(1, p + 1):
+            for j in range(p, r - 1, -1):
+                denom = t[m + j + 1 - r] - t[m + j - p]
+                alpha = ((q - t[m + j - p]) / denom)[:, None]
+                d[j] = (1.0 - alpha) * d[j - 1] + alpha * d[j]
+        return d[p]
