@@ -1,0 +1,70 @@
+"""Benchmark: Go2 trot DIAL-MPC solve rate on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
+
+Baseline: the reference runs Nsample=2048, Ndiffuse=2 at a 50 Hz control
+budget on a CUDA GPU (reference configs: examples/unitree_go2_trot.yaml,
+dt: 0.02). vs_baseline is solve_hz / 50.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+NSAMPLE = 2048
+NDIFFUSE = 2
+BASELINE_HZ = 50.0
+
+
+def main():
+    import dial_mpc_tpu.envs as dial_envs
+    from dial_mpc_tpu.core.dial_config import DialConfig
+    from dial_mpc_tpu.core.dial_core import MBDPI
+
+    cfg = DialConfig(
+        env_name="unitree_go2_walk",
+        Nsample=NSAMPLE,
+        Hsample=16,
+        Hnode=4,
+        Ndiffuse=NDIFFUSE,
+        temp_sample=0.05,
+    )
+    env_cfg_cls = dial_envs.get_config(cfg.env_name)
+    env = dial_envs.get_environment(cfg.env_name, env_cfg_cls(kd=0.0, default_vx=0.8, ramp_up_time=1.0))
+    mbdpi = MBDPI(cfg, env)
+
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    Y = jnp.zeros((cfg.Hnode + 1, mbdpi.nu), dtype=jnp.float32)
+
+    # warmup (compile both programs)
+    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    jax.block_until_ready(Y)
+    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    jax.block_until_ready(Y)
+
+    n_timed = 20
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    jax.block_until_ready(Y)
+    elapsed = time.perf_counter() - t0
+    hz = n_timed / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": f"go2_trot_solve_hz_nsample{NSAMPLE}_ndiffuse{NDIFFUSE}",
+                "value": round(hz, 2),
+                "unit": "Hz",
+                "vs_baseline": round(hz / BASELINE_HZ, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -305,3 +305,476 @@ class UnitreeGo2Env(BaseEnv):
 
 
 register_env("unitree_go2_walk", UnitreeGo2Env, UnitreeGo2EnvConfig)
+
+
+@dataclass
+class UnitreeGo2SeqJumpEnvConfig(UnitreeGo2EnvConfig):
+    jump_dt: float = 1.0
+    contact_targets: jax.Array = None
+    contact_target_radius: jax.Array = None
+    pose_target_sequence: jax.Array = None
+    yaw_target_sequence: jax.Array = None
+
+
+def generate_jumping_sequence(com_pos, com_heading, foot_place_radius):
+    """Per-stage foot contact targets around each CoM pose.
+
+    (reference: unitree_go2_env.py:559-592; foot offsets ordered FR FL RR RL
+    to match contact-slot order.)
+    """
+    com_pos = jnp.asarray(com_pos, jnp.float32)
+    com_heading = jnp.asarray(com_heading, jnp.float32)
+    n_steps = com_pos.shape[0]
+    assert n_steps == com_heading.shape[0]
+    contact_target_radius = jnp.full((n_steps, 4), foot_place_radius, jnp.float32)
+    offsets = jnp.array(
+        [
+            [0.2, -0.135, 0.0],  # FR
+            [0.2, 0.135, 0.0],  # FL
+            [-0.2, -0.135, 0.0],  # RR
+            [-0.2, 0.135, 0.0],  # RL
+        ],
+        jnp.float32,
+    )
+    targets = []
+    for i in range(n_steps):
+        R = maths.quat_to_mat(
+            maths.euler_to_quat(
+                jnp.array([0.0, 0.0, com_heading[i] * 180 / jnp.pi], jnp.float32)
+            )
+        )
+        targets.append(com_pos[i] + offsets @ R.T)
+    return (
+        jnp.stack(targets),
+        contact_target_radius,
+        com_pos,
+        com_heading,
+    )
+
+
+class UnitreeGo2SeqJumpEnv(UnitreeGo2Env):
+    """Staged contact-target jumping (reference: unitree_go2_env.py:327-646)."""
+
+    def __init__(self, config: UnitreeGo2SeqJumpEnvConfig):
+        super().__init__(config)
+        if config.contact_targets is None or config.contact_target_radius is None:
+            (
+                self._contact_targets,
+                self._contact_target_radius,
+                self._pose_target_sequence,
+                self._yaw_target_sequence,
+            ) = generate_jumping_sequence(
+                config.pose_target_sequence, config.yaw_target_sequence, 0.1
+            )
+        else:
+            f32 = jnp.float32
+            self._contact_targets = jnp.asarray(config.contact_targets, f32)
+            self._contact_target_radius = jnp.asarray(
+                config.contact_target_radius, f32
+            )
+            self._pose_target_sequence = jnp.asarray(config.pose_target_sequence, f32)
+            self._yaw_target_sequence = jnp.asarray(config.yaw_target_sequence, f32)
+        # wider front-hip envelope for jumping (reference: :346-361)
+        self.joint_range = jnp.array(
+            [
+                [-0.5, 0.5],
+                [0.4, 2.0],
+                [-2.3, -1.3],
+                [-0.5, 0.5],
+                [0.4, 2.0],
+                [-2.3, -1.3],
+                [-0.5, 0.5],
+                [0.4, 1.4],
+                [-2.3, -1.3],
+                [-0.5, 0.5],
+                [0.4, 1.4],
+                [-2.3, -1.3],
+            ]
+        )
+
+    def reset(self, rng: jax.Array) -> State:
+        rng, key = jax.random.split(rng)
+        pipeline_state = self.pipeline_init(self._init_q, jnp.zeros(self._nv))
+        f32 = jnp.float32
+        state_info = {
+            "rng": rng,
+            "pos_tar": jnp.array([0.0, 0.0, 0.27], f32),
+            "vel_tar": jnp.array([0.0, 0.0, 0.0], f32),
+            "ang_vel_tar": jnp.array([0.0, 0.0, 0.0], f32),
+            "yaw_tar": jnp.asarray(0.0, f32),
+            "step": 0,
+            "z_feet": jnp.zeros(4, f32),
+            "z_feet_tar": jnp.zeros(4, f32),
+            "randomize_target": self._config.randomize_tasks,
+            "last_contact": jnp.zeros(4, dtype=jnp.bool_),
+            "feet_air_time": jnp.zeros(4, f32),
+            "last_ctrl": jnp.zeros(12, f32),
+            "contact_stage": jnp.asarray(0, jnp.int32),
+        }
+        if not self._config.randomize_tasks:
+            state_info["contact_targets"] = self._contact_targets
+            state_info["contact_target_radius"] = self._contact_target_radius
+            state_info["pose_target_sequence"] = self._pose_target_sequence
+            state_info["yaw_target_sequence"] = self._yaw_target_sequence
+        else:
+            (
+                state_info["contact_targets"],
+                state_info["contact_target_radius"],
+                state_info["pose_target_sequence"],
+                state_info["yaw_target_sequence"],
+            ) = self.sample_command(rng)
+        obs = self._get_obs(pipeline_state, state_info)
+        reward, done = jnp.zeros(2, f32)
+        return State(pipeline_state, obs, reward, done, {}, state_info)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        rng, cmd_rng = jax.random.split(state.info["rng"], 2)
+        f32 = jnp.float32
+
+        if self._config.leg_control == "position":
+            ctrl = self.act2joint(action)
+        elif self._config.leg_control == "torque":
+            ctrl = self.act2tau(action, state.pipeline_state)
+        else:
+            raise ValueError("Invalid leg control type.")
+        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
+        torso = self._torso_idx - 1
+
+        obs = self._get_obs(pipeline_state, state.info)
+
+        # ---- reward stack (reference: :424-496) ----
+        z_feet = pipeline_state.site_xpos[self._feet_site_id][:, 2]
+        duty_ratio, cadence, amplitude = GAIT_PARAMS[self._gait]
+        phases = GAIT_PHASES[self._gait]
+        z_feet_tar = get_foot_step(
+            duty_ratio, cadence, amplitude, phases, state.info["step"] * self.dt
+        )
+        reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
+
+        pos_tar = state.info["pose_target_sequence"][state.info["contact_stage"]]
+        reward_pos = -jnp.sum((x_pos[torso] - pos_tar) ** 2)
+
+        vec_tar = jnp.array([0.0, 0.0, 1.0], f32)
+        vec = maths.rotate(vec_tar, x_rot[0])
+        reward_upright = -jnp.sum(jnp.square(vec - vec_tar))
+
+        yaw_tar = state.info["yaw_target_sequence"][state.info["contact_stage"]]
+        yaw = maths.quat_to_euler(x_rot[torso])[2]
+        reward_yaw = -jnp.square(yaw - yaw_tar)
+
+        # staged contact-target reward: feet contacts inside the active
+        # stage's target circles score; off-target ground contacts penalize.
+        # Contact slots 0-3 are the four feet-vs-floor pairs by construction
+        # (static pair table; replaces the reference's reliance on MJX
+        # contact ordering, :450-475).
+        contact_targets = state.info["contact_targets"]
+        contact_target_radius = state.info["contact_target_radius"]
+        reward_contact = jnp.asarray(0.0, f32)
+        penalty_contact = pipeline_state.contact.dist <= 0.001
+        for i in range(4):
+            contact_dist = pipeline_state.contact.dist[i]
+            contact_pt = pipeline_state.contact.pos[i]
+            in_any = jnp.asarray(False)
+            for j in range(contact_targets.shape[0]):
+                cond = (
+                    jnp.sum((contact_pt[:2] - contact_targets[j, i, :2]) ** 2)
+                    <= contact_target_radius[j, i] ** 2
+                )
+                stage_w = (j == state.info["contact_stage"]) * jnp.clip(
+                    contact_dist * -1.0 + 1.0, 0.0, 1.0
+                )
+                reward_contact += jnp.where(cond, stage_w, 0.0)
+                in_any = in_any | cond
+            penalty_contact = penalty_contact.at[i].set(
+                penalty_contact[i] & (~in_any)
+            )
+        penalty_contact = jnp.sum(penalty_contact)
+
+        reward_energy = -jnp.sum(
+            jnp.maximum(ctrl * pipeline_state.qvel[6:] / 160.0, 0.0) ** 2
+        )
+        reward_ctrl_rate = -jnp.sum((ctrl - state.info["last_ctrl"]) ** 2)
+        reward_alive = 1.0
+
+        reward = (
+            reward_gaits * 0.0
+            + reward_pos * 1.0
+            + reward_upright * 1.0
+            + reward_yaw * 0.3
+            + reward_contact * 0.1
+            - penalty_contact * 0.1
+            + reward_energy * 0.0
+            + reward_ctrl_rate * 0.0
+            + reward_alive * 10.0
+        )
+        reward = jnp.asarray(reward, f32)
+
+        # termination (reference: :498-505)
+        up = jnp.array([0.0, 0.0, 1.0], f32)
+        joint_angles = pipeline_state.qpos[7:]
+        done = jnp.dot(maths.rotate(up, x_rot[torso]), up) < 0
+        done |= jnp.any(joint_angles < self.joint_range[:, 0])
+        done |= jnp.any(joint_angles > self.joint_range[:, 1])
+        done |= x_pos[torso, 2] < 0.1
+        done = done.astype(f32)
+
+        info = dict(state.info)
+        info["step"] = state.info["step"] + 1
+        info["rng"] = rng
+        info["z_feet"] = z_feet.astype(f32)
+        info["z_feet_tar"] = z_feet_tar.astype(f32)
+        info["contact_stage"] = jnp.minimum(
+            jnp.floor(info["step"] * self.dt / self._config.jump_dt),
+            contact_targets.shape[0] - 1,
+        ).astype(jnp.int32)
+        info["last_ctrl"] = ctrl.astype(f32)
+
+        return state.replace(
+            pipeline_state=pipeline_state,
+            obs=obs,
+            reward=reward,
+            done=done,
+            info=info,
+        )
+
+    def _get_obs(self, pipeline_state, state_info) -> jax.Array:
+        torso = self._torso_idx - 1
+        x_rot = pipeline_state.x_rot
+        vb = global_to_body_velocity(pipeline_state.xd_vel[torso], x_rot[torso])
+        ab = global_to_body_velocity(
+            pipeline_state.xd_ang[torso] * jnp.pi / 180.0, x_rot[torso]
+        )
+        rpy = maths.quat_to_euler(pipeline_state.qpos[3:7])
+        pose_target = state_info["pose_target_sequence"][state_info["contact_stage"]]
+        yaw_target = state_info["yaw_target_sequence"][state_info["contact_stage"]]
+        diff_position = pipeline_state.x_pos[torso] - pose_target
+        diff_yaw = rpy[2] - yaw_target
+        diff_yaw = jnp.arctan2(jnp.sin(diff_yaw), jnp.cos(diff_yaw)).reshape(1)
+        return jnp.concatenate(
+            [
+                state_info["vel_tar"],
+                state_info["ang_vel_tar"],
+                state_info["last_ctrl"],
+                diff_position,
+                rpy[:2],
+                diff_yaw,
+                pipeline_state.qpos[7:],
+                vb,
+                ab,
+                pipeline_state.qvel[6:],
+            ]
+        )
+
+    def sample_command(self, rng: jax.Array):
+        # random jump course (reference: :594-631)
+        f32 = jnp.float32
+        com_pos_begin = jnp.array([0.0, 0.0, 0.27], f32)
+        com_yaw_begin = jnp.array([0.0], f32)
+
+        def randomize_com_pos(last_com_pos, rng):
+            nxt = last_com_pos.at[:2].add(
+                jax.random.uniform(rng, (2,), f32, minval=-0.65, maxval=0.65)
+            )
+            return nxt, nxt
+
+        def randomize_com_yaw(last_com_yaw, rng):
+            nxt = last_com_yaw + jax.random.uniform(
+                rng, (1,), f32, minval=-0.5, maxval=0.5
+            )
+            return nxt, nxt
+
+        n_steps = 10
+        keys = jax.random.split(rng, n_steps * 2)
+        _, com_pos = jax.lax.scan(randomize_com_pos, com_pos_begin, keys[:n_steps])
+        _, com_yaw = jax.lax.scan(randomize_com_yaw, com_yaw_begin, keys[n_steps:])
+        com_pos = jnp.concatenate([com_pos_begin.reshape(1, 3), com_pos], axis=0)
+        com_yaw = jnp.concatenate(
+            [com_yaw_begin.reshape(1, 1), com_yaw], axis=0
+        ).flatten()
+        return generate_jumping_sequence(com_pos, com_yaw, 0.1)
+
+    def update_viewer(self, viewer):
+        # contact-target cylinders overlay (reference: :633-646)
+        cnt = viewer.user_scn.ngeom
+        for i in range(self._contact_targets.shape[0]):
+            for j in range(4):
+                mujoco.mjv_initGeom(
+                    viewer.user_scn.geoms[cnt],
+                    type=mujoco.mjtGeom.mjGEOM_CYLINDER,
+                    size=np.array([float(self._contact_target_radius[i, j]), 0.01, 0.0]),
+                    rgba=np.array([0.0, 1.0, 0.0, 0.5]),
+                    pos=np.asarray(self._contact_targets[i, j]),
+                    mat=np.eye(3).flatten(),
+                )
+                cnt += 1
+        viewer.user_scn.ngeom = cnt
+
+
+@dataclass
+class UnitreeGo2CrateEnvConfig(UnitreeGo2EnvConfig):
+    pass
+
+
+class UnitreeGo2CrateEnv(UnitreeGo2Env):
+    """Crate climbing (reference: unitree_go2_env.py:653-803)."""
+
+    def __init__(self, config: UnitreeGo2CrateEnvConfig):
+        super().__init__(config)
+        self.joint_range = jnp.array(
+            [
+                [-0.25, 0.25],
+                [-1.0, 1.4],
+                [-2.7, -1.0],
+                [-0.25, 0.25],
+                [-1.0, 1.4],
+                [-2.7, -1.0],
+                [-0.25, 0.25],
+                [0.0, 1.8],
+                [-2.7, -1.0],
+                [-0.25, 0.25],
+                [0.0, 1.8],
+                [-2.7, -1.0],
+            ]
+        )
+        # re-derive the foot-vs-crate contact slots from the static pair
+        # table (replaces the reference's hardcoded MJX contact indices
+        # [16, 17, 18, 19], unitree_go2_env.py:750 — our slot layout is
+        # deterministic, so we look the pairs up instead)
+        crate_geom = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_GEOM.value, "static_box"
+        )
+        foot_geoms = [
+            mujoco.mj_name2id(self.mj_model, mujoco.mjtObj.mjOBJ_GEOM.value, n)
+            for n in ["FR", "FL", "RR", "RL"]
+        ]
+        slots = {}
+        for (g1, g2, t1, t2, condim, conadr, conmax) in self.sys.pair_table:
+            if crate_geom in (g1, g2):
+                other = g2 if g1 == crate_geom else g1
+                if other in foot_geoms:
+                    slots[other] = conadr
+        self._crate_contact_slots = [slots[g] for g in foot_geoms]
+
+    def make_system(self, config: UnitreeGo2EnvConfig) -> mujoco.MjModel:
+        model_path = get_model_path("unitree_go2", "mjx_scene_force_crate.xml")
+        mj_model = mujoco.MjModel.from_xml_path(str(model_path))
+        mj_model.opt.timestep = config.timestep
+        return mj_model
+
+    def reset(self, rng: jax.Array) -> State:
+        state = super().reset(rng)
+        f32 = jnp.float32
+        info = dict(state.info)
+        info["pos_tar"] = jnp.array([1.45, 0.0, 0.87], f32)
+        info["vel_tar"] = jnp.array([0.0, 0.0, 0.0], f32)
+        info["ang_vel_tar"] = jnp.array([0.0, 0.0, 0.0], f32)
+        info["yaw_tar"] = jnp.asarray(0.0, f32)
+        return state.replace(info=info)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        rng, cmd_rng = jax.random.split(state.info["rng"], 2)
+        f32 = jnp.float32
+
+        if self._config.leg_control == "position":
+            ctrl = self.act2joint(action)
+        else:
+            ctrl = self.act2tau(action, state.pipeline_state)
+        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
+        torso = self._torso_idx - 1
+
+        obs = self._get_obs(pipeline_state, state.info)
+
+        # ---- reward stack (reference: :698-783) ----
+        z_feet = pipeline_state.site_xpos[self._feet_site_id][:, 2]
+        duty_ratio, cadence, amplitude = GAIT_PARAMS[self._gait]
+        phases = GAIT_PHASES[self._gait]
+        z_feet_tar = get_foot_step(
+            duty_ratio, cadence, amplitude, phases, state.info["step"] * self.dt
+        )
+        reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
+
+        pos_tar = (
+            state.info["pos_tar"] + state.info["vel_tar"] * self.dt * state.info["step"]
+        )
+        R = maths.quat_to_mat(x_rot[torso])
+        head_pos = x_pos[torso] + R @ jnp.array([0.285, 0.0, 0.0], f32)
+        reward_pos = -jnp.sum((head_pos - pos_tar) ** 2)
+
+        vec_tar = jnp.array([0.0, 0.0, 1.0], f32)
+        vec = maths.rotate(vec_tar, x_rot[0])
+        reward_upright = -jnp.sum(jnp.square(vec - vec_tar))
+
+        yaw_tar = state.info["yaw_tar"]
+        yaw = maths.quat_to_euler(x_rot[torso])[2]
+        reward_yaw = -jnp.square(yaw - yaw_tar)
+
+        reward_vel = -jnp.sum(
+            (pipeline_state.xd_vel[torso] - state.info["vel_tar"]) ** 2
+        )
+        reward_height = -jnp.sum(
+            (x_pos[torso, 2] - state.info["pos_tar"][2]) ** 2
+        )
+        reward_energy = -jnp.sum(
+            jnp.maximum(ctrl * pipeline_state.qvel[6:6 + self._nu] / 160.0, 0.0) ** 2
+        )
+
+        rpy = maths.quat_to_euler(x_rot[torso])
+        reward_pitch = -jnp.square(rpy[1] - (-0.7854))
+        reward_roll = -jnp.square(rpy[0])
+
+        # feet-on-crate-top contact reward (slots re-derived in __init__)
+        reward_contact = jnp.asarray(0.0, f32)
+        penalty_contact = pipeline_state.contact.dist <= 0.001
+        for i, slot in enumerate(self._crate_contact_slots):
+            contact_pt = pipeline_state.contact.pos[slot]
+            active = pipeline_state.contact.dist[slot] < (
+                pipeline_state.contact.includemargin[slot]
+            )
+            cond = (
+                (contact_pt[0] > 1.0)
+                & (contact_pt[0] < 1.6)
+                & (contact_pt[1] > -0.45)
+                & (contact_pt[1] < 0.45)
+                & (contact_pt[2] > 0.59)
+                & (contact_pt[2] < 0.61)
+                & active
+            )
+            reward_contact += jnp.where(cond, 1.0, 0.0)
+            penalty_contact = penalty_contact.at[i].set(penalty_contact[i] & (~cond))
+        penalty_contact = jnp.sum(penalty_contact)
+
+        reward = (
+            reward_gaits * 0.0
+            + reward_pos * 1.0
+            + reward_upright * 0.01
+            + reward_yaw * 0.3
+            + reward_vel * 0.0
+            + reward_height * 0.0
+            + reward_energy * 0.0000
+            + reward_pitch * 0.0
+            + reward_roll * 0.0
+            + reward_contact * 0.02
+            - penalty_contact * 0.0
+        )
+        reward = jnp.asarray(reward, f32)
+        done = jnp.asarray(0.0, f32)
+
+        info = dict(state.info)
+        info["step"] = state.info["step"] + 1
+        info["rng"] = rng
+        info["z_feet"] = z_feet.astype(f32)
+        info["z_feet_tar"] = z_feet_tar.astype(f32)
+
+        return state.replace(
+            pipeline_state=pipeline_state,
+            obs=obs,
+            reward=reward,
+            done=done,
+            info=info,
+        )
+
+
+register_env("unitree_go2_seq_jump", UnitreeGo2SeqJumpEnv, UnitreeGo2SeqJumpEnvConfig)
+register_env("unitree_go2_crate_climb", UnitreeGo2CrateEnv, UnitreeGo2CrateEnvConfig)
