@@ -729,9 +729,9 @@ class UnitreeGo2CrateEnv(UnitreeGo2Env):
         penalty_contact = pipeline_state.contact.dist <= 0.001
         for i, slot in enumerate(self._crate_contact_slots):
             contact_pt = pipeline_state.contact.pos[slot]
-            active = pipeline_state.contact.dist[slot] < (
-                pipeline_state.contact.includemargin[slot]
-            )
+            # the narrow z-window around the crate top (contact point sits at
+            # the pair midpoint) implicitly requires near-contact, matching
+            # the reference's position-only check (unitree_go2_env.py:757-764)
             cond = (
                 (contact_pt[0] > 1.0)
                 & (contact_pt[0] < 1.6)
@@ -739,7 +739,6 @@ class UnitreeGo2CrateEnv(UnitreeGo2Env):
                 & (contact_pt[1] < 0.45)
                 & (contact_pt[2] > 0.59)
                 & (contact_pt[2] < 0.61)
-                & active
             )
             reward_contact += jnp.where(cond, 1.0, 0.0)
             penalty_contact = penalty_contact.at[i].set(penalty_contact[i] & (~cond))

@@ -1,0 +1,514 @@
+"""Unitree H1 humanoid tasks.
+
+Behavioral parity targets (logic re-derived, not translated): reference
+dial_mpc/envs/unitree_h1_env.py —
+  - UnitreeH1WalkEnv (19-act jog, per-joint kp/kd): lines 80-375
+  - UnitreeH1PushCrateEnv (hand-contact crate pushing): lines 378-567
+  - UnitreeH1LocoEnv (11-act legs+torso, foot-level reward): lines 609-902
+
+Contact-slot indexing: the reference hardcodes MJX contact-array indices
+(unitree_h1_env.py:230-235, 467-472, 522-527, 749-754). Our engine has a
+deterministic static pair table (pairs sorted by geom ids, fixed slots per
+pair), so the equivalent slots are re-derived from geom/body names at
+construction time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mujoco
+
+from dial_mpc_tpu.config.base_env_config import BaseEnvConfig
+from dial_mpc_tpu.envs import register_env
+from dial_mpc_tpu.envs.base_env import BaseEnv, State
+from dial_mpc_tpu.physics import maths
+from dial_mpc_tpu.utils.function_utils import get_foot_step, global_to_body_velocity
+from dial_mpc_tpu.utils.io_utils import get_model_path
+
+_H1_KP = [200.0, 200.0, 200.0, 200.0, 60.0,
+          200.0, 200.0, 200.0, 200.0, 60.0,
+          200.0,
+          60.0, 60.0, 60.0, 60.0,
+          60.0, 60.0, 60.0, 60.0]
+_H1_KD = [5.0, 5.0, 5.0, 5.0, 1.5,
+          5.0, 5.0, 5.0, 5.0, 1.5,
+          5.0,
+          1.5, 1.5, 1.5, 1.5,
+          1.5, 1.5, 1.5, 1.5]
+
+H1_GAIT_PHASES = {
+    "stand": jnp.zeros(2),
+    "slow_walk": jnp.array([0.0, 0.5]),
+    "walk": jnp.array([0.0, 0.5]),
+    "jog": jnp.array([0.0, 0.5]),
+}
+H1_WALK_GAIT_PARAMS = {
+    # duty_ratio, cadence, amplitude
+    "stand": jnp.array([1.0, 1.0, 0.0]),
+    "slow_walk": jnp.array([0.6, 0.8, 0.15]),
+    "walk": jnp.array([0.5, 1.0, 0.15]),
+    "jog": jnp.array([0.3, 2, 0.2]),
+}
+H1_LOCO_GAIT_PARAMS = {
+    "stand": jnp.array([1.0, 1.0, 0.0]),
+    "slow_walk": jnp.array([0.6, 0.8, 0.15]),
+    "walk": jnp.array([0.5, 1.5, 0.10]),
+    "jog": jnp.array([0.3, 2.0, 0.2]),
+}
+
+
+@dataclass
+class UnitreeH1WalkEnvConfig(BaseEnvConfig):
+    kp: Union[float, jax.Array] = field(default_factory=lambda: jnp.array(_H1_KP))
+    kd: Union[float, jax.Array] = field(default_factory=lambda: jnp.array(_H1_KD))
+    default_vx: float = 1.0
+    default_vy: float = 0.0
+    default_vyaw: float = 0.0
+    ramp_up_time: float = 2.0
+    gait: str = "jog"
+
+
+def _plane_slots_for_body(env, body_name):
+    """Contact slots of (floor, any geom on body_name) pairs, in order."""
+    floor = 0
+    body = mujoco.mj_name2id(env.mj_model, mujoco.mjtObj.mjOBJ_BODY.value, body_name)
+    slots = []
+    for (g1, g2, t1, t2, condim, conadr, conmax) in env.sys.pair_table:
+        if g1 == floor and env.mj_model.geom_bodyid[g2] == body:
+            slots.extend(range(conadr, conadr + conmax))
+    return slots
+
+
+class UnitreeH1WalkEnv(BaseEnv):
+    """19-actuator humanoid jog (reference: unitree_h1_env.py:80-375)."""
+
+    def __init__(self, config: UnitreeH1WalkEnvConfig):
+        super().__init__(config)
+
+        self._pelvis_idx = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_BODY.value, "pelvis"
+        )
+        self._torso_idx = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_BODY.value, "torso_link"
+        )
+        self._left_foot_idx = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_SITE.value, "left_foot"
+        )
+        self._right_foot_idx = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_SITE.value, "right_foot"
+        )
+        self._feet_site_id = jnp.array(
+            [self._left_foot_idx, self._right_foot_idx], dtype=jnp.int32
+        )
+        self._gait = config.gait
+        self._gait_phase = H1_GAIT_PHASES
+        self._gait_params = H1_WALK_GAIT_PARAMS
+
+        self._init_q = jnp.array(self.mj_model.keyframe("home").qpos)
+        self._default_pose = self.mj_model.keyframe("home").qpos[7:]
+        # task-space joint envelope (reference: :121-147)
+        self.joint_range = jnp.array(
+            [
+                [-0.3, 0.3], [-0.3, 0.3], [-1.0, 1.0], [0.0, 1.74], [-0.6, 0.4],
+                [-0.3, 0.3], [-0.3, 0.3], [-1.0, 1.0], [0.0, 1.74], [-0.6, 0.4],
+                [-0.5, 0.5],
+                [-0.78, 0.78], [-0.3, 0.3], [-0.3, 0.3], [-0.3, 0.3],
+                [-0.78, 0.78], [-0.3, 0.3], [-0.3, 0.3], [-0.3, 0.3],
+            ]
+        )
+        # foot-vs-floor contact slots (re-derived; the reference hardcodes
+        # dist[0:2] / dist[2:4] against MJX's ordering, :230-235)
+        self._left_foot_slots = jnp.array(
+            _plane_slots_for_body(self, "left_ankle_link"), dtype=jnp.int32
+        )
+        self._right_foot_slots = jnp.array(
+            _plane_slots_for_body(self, "right_ankle_link"), dtype=jnp.int32
+        )
+
+    def make_system(self, config) -> mujoco.MjModel:
+        model_path = get_model_path("unitree_h1", "mjx_scene_h1_walk.xml")
+        mj_model = mujoco.MjModel.from_xml_path(str(model_path))
+        mj_model.opt.timestep = config.timestep
+        return mj_model
+
+    def reset(self, rng: jax.Array) -> State:
+        rng, key = jax.random.split(rng)
+        pipeline_state = self.pipeline_init(self._init_q, jnp.zeros(self._nv))
+        f32 = jnp.float32
+        state_info = {
+            "rng": rng,
+            "pos_tar": jnp.array([0.0, 0.0, 1.3], f32),
+            "vel_tar": jnp.zeros(3, f32),
+            "ang_vel_tar": jnp.zeros(3, f32),
+            "yaw_tar": jnp.asarray(0.0, f32),
+            "step": 0,
+            "z_feet": jnp.zeros(2, f32),
+            "z_feet_tar": jnp.zeros(2, f32),
+            "randomize_target": self._config.randomize_tasks,
+            "last_contact": jnp.zeros(2, dtype=jnp.bool_),
+            "feet_air_time": jnp.zeros(2, f32),
+        }
+        obs = self._get_obs(pipeline_state, state_info)
+        reward, done = jnp.zeros(2, f32)
+        return State(pipeline_state, obs, reward, done, {}, state_info)
+
+    def _z_feet_from_contacts(self, pipeline_state):
+        return jnp.array(
+            [
+                jnp.min(pipeline_state.contact.dist[self._left_foot_slots]),
+                jnp.min(pipeline_state.contact.dist[self._right_foot_slots]),
+            ]
+        )
+
+    def _reward_contact(self, pipeline_state):
+        return jnp.asarray(0.0, jnp.float32)  # walk env has no contact term
+
+    def _reward_extra(self, pipeline_state, ctrl):
+        return {}
+
+    def step(self, state: State, action: jax.Array) -> State:
+        rng, cmd_rng = jax.random.split(state.info["rng"], 2)
+        f32 = jnp.float32
+
+        joint_targets = self.act2joint(action)
+        if self._config.leg_control == "position":
+            ctrl = joint_targets
+        else:
+            ctrl = self.act2tau(action, state.pipeline_state)
+        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
+        torso = self._torso_idx - 1
+
+        obs = self._get_obs(pipeline_state, state.info)
+
+        def dont_randomize():
+            return (
+                jnp.array(
+                    [self._config.default_vx, self._config.default_vy, 0.0], f32
+                ),
+                jnp.array([0.0, 0.0, self._config.default_vyaw], f32),
+            )
+
+        vel_tar, ang_vel_tar = jax.lax.cond(
+            (state.info["randomize_target"]) & (state.info["step"] % 500 == 0),
+            lambda: self.sample_command(cmd_rng),
+            dont_randomize,
+        )
+        info = dict(state.info)
+        info["vel_tar"] = jnp.minimum(
+            vel_tar * state.info["step"] * self.dt / self._config.ramp_up_time,
+            vel_tar,
+        ).astype(f32)
+        info["ang_vel_tar"] = jnp.minimum(
+            ang_vel_tar * state.info["step"] * self.dt / self._config.ramp_up_time,
+            ang_vel_tar,
+        ).astype(f32)
+
+        # ---- reward stack (reference: :221-298 / :458-544 / :740-825) ----
+        duty_ratio, cadence, amplitude = self._gait_params[self._gait]
+        phases = self._gait_phase[self._gait]
+        z_feet_tar = get_foot_step(
+            duty_ratio, cadence, amplitude, phases, state.info["step"] * self.dt
+        )
+        # gait reward tracks the *contact distances* of the foot collision
+        # capsules, not the site heights (reference: :230-236)
+        z_feet = self._z_feet_from_contacts(pipeline_state)
+        reward_gaits = -jnp.sum((z_feet_tar - z_feet) ** 2)
+
+        foot_pos = pipeline_state.site_xpos[self._feet_site_id]
+        foot_contact_z = foot_pos[:, 2]
+        contact = foot_contact_z < 1e-3
+        contact_filt_mm = contact | state.info["last_contact"]
+        first_contact = (state.info["feet_air_time"] > 0) * contact_filt_mm
+        feet_air_time = state.info["feet_air_time"] + self.dt
+        reward_air_time = jnp.sum((feet_air_time - 0.1) * first_contact)
+
+        pos_tar = (
+            state.info["pos_tar"] + info["vel_tar"] * self.dt * state.info["step"]
+        )
+        reward_pos = -jnp.sum((x_pos[torso] - pos_tar) ** 2)
+
+        vec_tar = jnp.array([0.0, 0.0, 1.0], f32)
+        vec = maths.rotate(vec_tar, x_rot[0])
+        reward_upright = -jnp.sum(jnp.square(vec - vec_tar))
+
+        yaw_tar = (
+            state.info["yaw_tar"]
+            + info["ang_vel_tar"][2] * self.dt * state.info["step"]
+        )
+        yaw = maths.quat_to_euler(x_rot[torso])[2]
+        d_yaw = yaw - yaw_tar
+        reward_yaw = -jnp.square(jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw)))
+
+        vb = global_to_body_velocity(pipeline_state.xd_vel[torso], x_rot[torso])
+        ab = global_to_body_velocity(
+            pipeline_state.xd_ang[torso] * jnp.pi / 180.0, x_rot[torso]
+        )
+        reward_vel = -jnp.sum((vb[:2] - info["vel_tar"][:2]) ** 2)
+        reward_ang_vel = self._reward_ang_vel(ab, info)
+
+        reward_height = -jnp.sum(
+            (x_pos[torso, 2] - state.info["pos_tar"][2]) ** 2
+        )
+        reward_energy = self._reward_energy(pipeline_state, ctrl)
+        reward_contact = self._reward_contact(pipeline_state)
+        extra = self._reward_extra(pipeline_state, ctrl)
+        reward_alive = 1.0 - state.done
+
+        reward = self._combine_reward(
+            reward_gaits=reward_gaits,
+            reward_air_time=reward_air_time,
+            reward_pos=reward_pos,
+            reward_upright=reward_upright,
+            reward_yaw=reward_yaw,
+            reward_vel=reward_vel,
+            reward_ang_vel=reward_ang_vel,
+            reward_height=reward_height,
+            reward_energy=reward_energy,
+            reward_contact=reward_contact,
+            reward_alive=reward_alive,
+            **extra,
+        )
+        reward = jnp.asarray(reward, f32)
+
+        up = jnp.array([0.0, 0.0, 1.0], f32)
+        joint_angles = pipeline_state.qpos[7:]
+        joint_angles = joint_angles[: self.joint_range.shape[0]]
+        done = jnp.dot(maths.rotate(up, x_rot[torso]), up) < 0
+        done |= jnp.any(joint_angles < self.joint_range[:, 0])
+        done |= jnp.any(joint_angles > self.joint_range[:, 1])
+        done |= x_pos[torso, 2] < 0.18
+        done = done.astype(f32)
+
+        info["step"] = state.info["step"] + 1
+        info["rng"] = rng
+        info["z_feet"] = z_feet.astype(f32)
+        info["z_feet_tar"] = z_feet_tar.astype(f32)
+        info["feet_air_time"] = (feet_air_time * ~contact_filt_mm).astype(f32)
+        info["last_contact"] = contact
+
+        return state.replace(
+            pipeline_state=pipeline_state,
+            obs=obs,
+            reward=reward,
+            done=done,
+            info=info,
+        )
+
+    def _reward_ang_vel(self, ab, info):
+        return -jnp.sum((ab[2] - info["ang_vel_tar"][2]) ** 2)
+
+    def _reward_energy(self, pipeline_state, ctrl):
+        # (reference: :282) — unlimited actuators divide by inf => 0
+        return -jnp.sum((ctrl / self.joint_torque_range[:, 1]) ** 2)
+
+    def _combine_reward(self, **r):
+        # weights (reference: :286-298)
+        return (
+            r["reward_gaits"] * 5.0
+            + r["reward_air_time"] * 0.0
+            + r["reward_pos"] * 0.0
+            + r["reward_upright"] * 0.5
+            + r["reward_yaw"] * 0.1
+            + r["reward_vel"] * 1.0
+            + r["reward_ang_vel"] * 1.0
+            + r["reward_height"] * 0.5
+            + r["reward_energy"] * 0.01
+            + r["reward_alive"] * 0.0
+        )
+
+    def _get_obs(self, pipeline_state, state_info) -> jax.Array:
+        torso = self._torso_idx - 1
+        x_rot = pipeline_state.x_rot
+        vb = global_to_body_velocity(pipeline_state.xd_vel[torso], x_rot[torso])
+        ab = global_to_body_velocity(
+            pipeline_state.xd_ang[torso] * jnp.pi / 180.0, x_rot[torso]
+        )
+        return jnp.concatenate(
+            [
+                state_info["vel_tar"],
+                state_info["ang_vel_tar"],
+                pipeline_state.ctrl,
+                pipeline_state.qpos,
+                vb,
+                ab,
+                pipeline_state.qvel[6:],
+            ]
+        )
+
+    def sample_command(self, rng: jax.Array):
+        f32 = jnp.float32
+        _, key1, key2, key3 = jax.random.split(rng, 4)
+        lin_vel_x = jax.random.uniform(key1, (1,), f32, minval=-1.5, maxval=1.5)
+        lin_vel_y = jax.random.uniform(key2, (1,), f32, minval=-0.5, maxval=0.5)
+        ang_vel_yaw = jax.random.uniform(key3, (1,), f32, minval=-1.5, maxval=1.5)
+        new_lin_vel_cmd = jnp.array([lin_vel_x[0], lin_vel_y[0], 0.0])
+        new_ang_vel_cmd = jnp.array([0.0, 0.0, ang_vel_yaw[0]])
+        return new_lin_vel_cmd, new_ang_vel_cmd
+
+
+@dataclass
+class UnitreeH1PushCrateEnvConfig(UnitreeH1WalkEnvConfig):
+    pass
+
+
+class UnitreeH1PushCrateEnv(UnitreeH1WalkEnv):
+    """Crate pushing: reward hand-crate contact, penalize leg/torso-crate
+    contact (reference: unitree_h1_env.py:382-567, contact indices 522-527
+    re-derived from the pair table)."""
+
+    def __init__(self, config: UnitreeH1PushCrateEnvConfig):
+        super().__init__(config)
+        # drop the crate's slide-joint row from the physical range table
+        self.physical_joint_range = self.physical_joint_range[:-1]
+
+        crate = mujoco.mj_name2id(
+            self.mj_model, mujoco.mjtObj.mjOBJ_GEOM.value, "static_box"
+        )
+        hand_bodies = {
+            mujoco.mj_name2id(self.mj_model, mujoco.mjtObj.mjOBJ_BODY.value, n)
+            for n in ["left_elbow_link", "right_elbow_link"]
+        }
+        wanted, unwanted = [], []
+        for (g1, g2, t1, t2, condim, conadr, conmax) in self.sys.pair_table:
+            if crate not in (g1, g2):
+                continue
+            other = g2 if g1 == crate else g1
+            if other == 0:  # crate-floor: always in contact, not a signal
+                continue
+            dst = (
+                wanted
+                if int(self.mj_model.geom_bodyid[other]) in hand_bodies
+                else unwanted
+            )
+            dst.extend(range(conadr, conadr + conmax))
+        self._wanted_contacts = jnp.array(wanted, dtype=jnp.int32)
+        self._unwanted_contacts = jnp.array(unwanted, dtype=jnp.int32)
+
+    def make_system(self, config) -> mujoco.MjModel:
+        model_path = get_model_path("unitree_h1", "mjx_scene_h1_push_crate.xml")
+        mj_model = mujoco.MjModel.from_xml_path(str(model_path))
+        mj_model.opt.timestep = config.timestep
+        return mj_model
+
+    def reset(self, rng: jax.Array) -> State:
+        state = super().reset(rng)
+        info = dict(state.info)
+        info["pos_tar"] = jnp.array([0.0, 0.0, 1.2], jnp.float32)
+        return state.replace(info=info)
+
+    def _reward_contact(self, pipeline_state):
+        # hands on crate below 1.1 m good; legs/torso on crate bad
+        con = pipeline_state.contact
+        return jnp.sum(
+            (con.dist[self._wanted_contacts] < 1e-3)
+            & (con.pos[self._wanted_contacts, 2] < 1.1)
+        ) - jnp.sum(con.dist[self._unwanted_contacts] < 1e-3)
+
+    def _combine_reward(self, **r):
+        # weights (reference: :531-544)
+        return (
+            r["reward_gaits"] * 5.0
+            + r["reward_air_time"] * 0.0
+            + r["reward_pos"] * 0.0
+            + r["reward_upright"] * 0.01
+            + r["reward_yaw"] * 0.1
+            + r["reward_vel"] * 1.0
+            + r["reward_ang_vel"] * 1.0
+            + r["reward_height"] * 0.5
+            + r["reward_energy"] * 0.01
+            + r["reward_contact"] * 0.05
+            + r["reward_alive"] * 0.0
+        )
+
+
+@dataclass
+class UnitreeH1LocoEnvConfig(BaseEnvConfig):
+    kp: Union[float, jax.Array] = field(
+        default_factory=lambda: jnp.array(_H1_KP[:11])
+    )
+    kd: Union[float, jax.Array] = field(
+        default_factory=lambda: jnp.array(_H1_KD[:11])
+    )
+    default_vx: float = 1.0
+    default_vy: float = 0.0
+    default_vyaw: float = 0.0
+    ramp_up_time: float = 2.0
+    gait: str = "jog"
+
+
+class UnitreeH1LocoEnv(UnitreeH1WalkEnv):
+    """11-actuator legs+torso model with foot-level shaping
+    (reference: unitree_h1_env.py:609-902)."""
+
+    def __init__(self, config: UnitreeH1LocoEnvConfig):
+        super().__init__(config)
+        self._gait_params = H1_LOCO_GAIT_PARAMS
+        self.joint_range = jnp.array(
+            [
+                [-0.2, 0.2], [-0.2, 0.2], [-0.6, 0.6], [0.0, 1.5], [-0.6, 0.4],
+                [-0.2, 0.2], [-0.2, 0.2], [-0.6, 0.6], [0.0, 1.5], [-0.6, 0.4],
+                [-0.5, 0.5],
+            ]
+        )
+
+    def make_system(self, config) -> mujoco.MjModel:
+        model_path = get_model_path("unitree_h1", "mjx_scene_h1_loco.xml")
+        mj_model = mujoco.MjModel.from_xml_path(str(model_path))
+        mj_model.opt.timestep = config.timestep
+        return mj_model
+
+    def _reward_ang_vel(self, ab, info):
+        # loco tracks the full angular-velocity vector (reference: :795)
+        return -jnp.sum((ab - info["ang_vel_tar"]) ** 2)
+
+    def _reward_energy(self, pipeline_state, ctrl):
+        # (reference: :807)
+        n = self.joint_range.shape[0]
+        return -jnp.sum(
+            (
+                ctrl
+                / self.joint_torque_range[:, 1]
+                * pipeline_state.qvel[6 : 6 + n]
+                / 160.0
+            )
+            ** 2
+        )
+
+    def _reward_extra(self, pipeline_state, ctrl):
+        # foot-level shaping (reference: :800-805)
+        vec_tar = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        left = pipeline_state.site_xmat[self._left_foot_idx] @ vec_tar
+        right = pipeline_state.site_xmat[self._right_foot_idx] @ vec_tar
+        return {
+            "reward_foot_level": -jnp.sum(
+                (left - vec_tar) ** 2 + (right - vec_tar) ** 2
+            )
+        }
+
+    def _combine_reward(self, **r):
+        # weights (reference: :812-825)
+        return (
+            r["reward_gaits"] * 10.0
+            + r["reward_air_time"] * 0.0
+            + r["reward_pos"] * 0.0
+            + r["reward_upright"] * 0.5
+            + r["reward_yaw"] * 0.5
+            + r["reward_vel"] * 1.0
+            + r["reward_ang_vel"] * 1.0
+            + r["reward_height"] * 0.5
+            + r["reward_foot_level"] * 0.02
+            + r["reward_energy"] * 0.01
+            + r["reward_alive"] * 0.0
+        )
+
+
+register_env("unitree_h1_walk", UnitreeH1WalkEnv, UnitreeH1WalkEnvConfig)
+register_env("unitree_h1_push_crate", UnitreeH1PushCrateEnv, UnitreeH1PushCrateEnvConfig)
+register_env("unitree_h1_loco", UnitreeH1LocoEnv, UnitreeH1LocoEnvConfig)

@@ -36,6 +36,31 @@ class Efc:
     aref: jax.Array  # (nefc,)
     pos: jax.Array  # (nefc,) constraint violation (for diagnostics)
     frictionloss: jax.Array  # (nefc,) dof-friction bound (0 => unilateral row)
+    eta: jax.Array = None  # (nefc,) elliptic friction coefficient per row
+
+
+def elliptic_groups(m: Model):
+    """Static (row0, condim) spans of elliptic contact groups in efc rows.
+
+    Row layout: dof-friction rows, joint-limit rows, then contact rows in
+    slot order. Only meaningful when m.opt.cone == 1; empty otherwise.
+    """
+    if m.opt.cone != 1 or (m.opt.disableflags & DSBL_CONTACT):
+        return ()
+    nrows = sum(1 for i in range(m.nv) if m.dof_frictionloss_static[i] > 0)
+    if not (m.opt.disableflags & DSBL_LIMIT):
+        for j in range(m.njnt):
+            if m.jnt_limited[j] and m.jnt_type[j] in (SLIDE, HINGE):
+                nrows += 1
+    groups = []
+    for (g1, g2, t1, t2, condim, conadr, conmax) in m.pair_table:
+        for _ in range(conmax):
+            if condim == 1:
+                nrows += 1
+            else:
+                groups.append((nrows, condim))
+                nrows += condim
+    return tuple(groups)
 
 
 def _impedance(solimp, pos):
@@ -133,7 +158,9 @@ def make_constraint(m: Model, d: Data) -> Data:
             rows_pos.append(pos)
             rows_fl.append(jnp.zeros((), dtype))
 
-    # ---- contact rows (pyramidal cone) ----
+    rows_eta = [jnp.zeros((), dtype) for _ in rows_J]
+
+    # ---- contact rows (pyramidal or elliptic cone) ----
     if m.ncon and not (m.opt.disableflags & DSBL_CONTACT):
         con = d.contact
         slot_meta = []
@@ -173,6 +200,50 @@ def make_constraint(m: Model, d: Data) -> Data:
                 rows_aref.append(aref * active)
                 rows_pos.append(pos)
                 rows_fl.append(jnp.zeros((), dtype))
+                rows_eta.append(jnp.zeros((), dtype))
+            elif m.opt.cone == 1:
+                # elliptic cone: condim rows [normal, t1, t2, (tor, r1, r2)].
+                # Regularizers verified against CPU MuJoCo:
+                #   R_n = (1-imp)/imp * invweight_t
+                #   R_i = R_n * mu^2 / (eta_i^2 * impratio)   (friction rows)
+                # normal aref has the position term, friction rows are
+                # velocity-only.
+                fri = con.friction[slot]
+                mu = fri[0]
+                etas = [fri[0], fri[1], fri[2], fri[3], fri[4]][: condim - 1]
+                Rn = jnp.maximum((1.0 - imp) / imp * invweight_t, MJ_MINVAL)
+                vel_n = Jn @ d.qvel
+                _, aref_n = _kbi(m, con.solref[slot], con.solimp[slot], pos, vel_n)
+                rows_J.append(Jn * active)
+                rows_D.append(active / Rn)
+                rows_aref.append(aref_n * active)
+                rows_pos.append(pos)
+                rows_fl.append(jnp.zeros((), dtype))
+                rows_eta.append(jnp.zeros((), dtype))
+
+                fric_Js = [djacp @ frame[1], djacp @ frame[2]]
+                if condim > 3:
+                    fric_Js.append(djacr @ frame[0])
+                if condim > 4:
+                    fric_Js += [djacr @ frame[1], djacr @ frame[2]]
+                for eta_i, Jf in zip(etas, fric_Js):
+                    Ri = Rn * mu * mu / jnp.maximum(
+                        eta_i * eta_i * m.opt.impratio, MJ_MINVAL
+                    )
+                    vel = Jf @ d.qvel
+                    _, aref_f = _kbi(
+                        m,
+                        con.solref[slot],
+                        con.solimp[slot],
+                        jnp.zeros((), dtype),
+                        vel,
+                    )
+                    rows_J.append(Jf * active)
+                    rows_D.append(active / Ri)
+                    rows_aref.append(aref_f * active)
+                    rows_pos.append(pos)
+                    rows_fl.append(jnp.zeros((), dtype))
+                    rows_eta.append(jnp.asarray(eta_i, dtype))
             else:
                 # pyramidal facets: n +/- mu_k * dir_k
                 fri = con.friction[slot]
@@ -199,6 +270,7 @@ def make_constraint(m: Model, d: Data) -> Data:
                         rows_aref.append(aref * active)
                         rows_pos.append(pos)
                         rows_fl.append(jnp.zeros((), dtype))
+                        rows_eta.append(jnp.zeros((), dtype))
 
     if rows_J:
         efc = Efc(
@@ -207,6 +279,7 @@ def make_constraint(m: Model, d: Data) -> Data:
             aref=jnp.stack([jnp.asarray(x, dtype) for x in rows_aref]),
             pos=jnp.stack([jnp.asarray(x, dtype) for x in rows_pos]),
             frictionloss=jnp.stack([jnp.asarray(x, dtype) for x in rows_fl]),
+            eta=jnp.stack([jnp.asarray(x, dtype) for x in rows_eta]),
         )
     else:
         efc = Efc(
@@ -215,5 +288,6 @@ def make_constraint(m: Model, d: Data) -> Data:
             aref=jnp.zeros(0, dtype),
             pos=jnp.zeros(0, dtype),
             frictionloss=jnp.zeros(0, dtype),
+            eta=jnp.zeros(0, dtype),
         )
     return replace(d, efc=efc)

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from dial_mpc_tpu.physics import collision, constraint, kinematics, smooth, solver
-from dial_mpc_tpu.physics import maths
+from dial_mpc_tpu.physics import linalg, maths
 from dial_mpc_tpu.physics.kinematics import replace
 from dial_mpc_tpu.physics.model import Data, Model, DSBL_EULERDAMP
 
@@ -67,9 +67,7 @@ def _euler_damp_qacc(m: Model, d: Data) -> jax.Array:
     h = m.opt.timestep
     MhB = d.qM + h * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    L = jax.scipy.linalg.cholesky(MhB, lower=True)
-    y = jax.scipy.linalg.solve_triangular(L, qfrc, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return linalg.solve_pd(MhB, qfrc)
 
 
 def step(m: Model, d: Data) -> Data:

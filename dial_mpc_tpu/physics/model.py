@@ -391,12 +391,16 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
     f = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
     fi = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
 
+    # Newton with exact-ish line search converges in a handful of
+    # iterations; models shipping CPU-solver settings (e.g. Allegro's
+    # iterations=100) would explode compile time of the unrolled pipeline,
+    # so cap the static schedule.
     opt = Option(
         timestep=f(m.opt.timestep),
         gravity=f(m.opt.gravity),
         impratio=f(m.opt.impratio),
-        iterations=int(m.opt.iterations),
-        ls_iterations=int(m.opt.ls_iterations),
+        iterations=min(int(m.opt.iterations), 8),
+        ls_iterations=min(int(m.opt.ls_iterations), 8),
         integrator=int(m.opt.integrator),
         cone=int(m.opt.cone),
         disableflags=int(m.opt.disableflags),

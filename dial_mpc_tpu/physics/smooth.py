@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dial_mpc_tpu.physics import maths
+from dial_mpc_tpu.physics import linalg, maths
 from dial_mpc_tpu.physics.kinematics import replace
 from dial_mpc_tpu.physics.model import Data, Model
 
@@ -33,14 +33,13 @@ def crb(m: Model, d: Data) -> Data:
     lower = jnp.einsum("vi,wi->vw", F, d.cdof) * m.dof_ancestor_mask
     qM = lower + lower.T - jnp.diag(jnp.diag(lower))
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jax.scipy.linalg.cholesky(qM, lower=True)
+    qLD = linalg.cholesky(qM)
     return replace(d, qM=qM, qLD=qLD)
 
 
 def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
-    """M^{-1} rhs via the cached Cholesky factor."""
-    y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    """M^{-1} rhs via the cached (unrolled) Cholesky factor."""
+    return linalg.cho_solve(d.qLD, rhs)
 
 
 def rne(m: Model, d: Data) -> Data:

@@ -1,0 +1,116 @@
+"""Deploy runtime: shm bus semantics + sim2sim integration on CPU.
+
+The integration test runs the headless sim server in a subprocess (sync
+mode) and the planner in-process, communicating over the real POSIX shm
+bus — the same process topology as deployment (reference: dial_sim.py +
+dial_plan.py).
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from dial_mpc_tpu.deploy.shm import ShmBus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_shm_bus_roundtrip():
+    bus = ShmBus(nx=37, nu=12, n_acts=17, create=True)
+    try:
+        attached = ShmBus(nx=37, nu=12, n_acts=17, create=False)
+        bus.acts[:] = 1.5
+        bus.plan_time[0] = 0.42
+        np.testing.assert_allclose(attached.acts, 1.5)
+        np.testing.assert_allclose(attached.plan_time[0], np.float32(0.42))
+        attached.state[:] = 2.0
+        np.testing.assert_allclose(bus.state, 2.0)
+        attached.close()
+    finally:
+        bus.close()
+
+
+SIM_SCRIPT = """
+import sys; sys.path.insert(0, {repo!r})
+from dial_mpc_tpu.deploy.sim_server import DialSim, DialSimConfig
+from dial_mpc_tpu.config.base_env_config import BaseEnvConfig
+from dial_mpc_tpu.core.dial_config import DialConfig
+sim = DialSim(
+    DialSimConfig(robot_name="unitree_go2", scene_name="mjx_scene_force.xml",
+                  sim_leg_control="torque", plot=False, record=False,
+                  real_time_factor=1.0, sim_dt=0.005, sync_mode=True,
+                  headless=True),
+    BaseEnvConfig(dt=0.02, timestep=0.02),
+    DialConfig(Hsample=16),
+    max_steps=20,
+)
+try:
+    sim.main_loop()
+finally:
+    sim.close()
+print("SIM_DONE", sim.t)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_sim2sim_sync_integration(tmp_path):
+    import jax
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", SIM_SCRIPT.format(repo=REPO)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # wait for the sim server to create the shm segments
+        deadline = time.time() + 60
+        bus = None
+        while time.time() < deadline:
+            try:
+                bus = ShmBus(nx=37, nu=12, n_acts=17, create=False)
+                break
+            except FileNotFoundError:
+                time.sleep(0.2)
+        if bus is None:
+            proc.kill()
+            out, _ = proc.communicate(timeout=30)
+            raise AssertionError(f"sim server never created the shm bus:\n{out[-3000:]}")
+        bus.close()
+
+        import dial_mpc_tpu.envs as dial_envs
+        from dial_mpc_tpu.core.dial_config import DialConfig
+        from dial_mpc_tpu.deploy.planner_proc import MBDPublisher
+
+        dial_cfg = DialConfig(
+            env_name="unitree_go2_walk",
+            Nsample=8,
+            Hsample=16,
+            Hnode=4,
+            Ndiffuse=1,
+            Ndiffuse_init=2,
+        )
+        env_cfg = dial_envs.get_config(dial_cfg.env_name)(kd=0.0)
+        env = dial_envs.get_environment(dial_cfg.env_name, env_cfg)
+        pub = MBDPublisher(env, env_cfg, dial_cfg)
+        try:
+            pub.main_loop(max_iters=60, verbose=False)
+            t_sim = float(pub.bus.time[0])
+            plan_t = float(pub.bus.plan_time[0])
+            taus = np.array(pub.bus.tau)
+        finally:
+            pub.close()
+
+        # the sync-mode sim advances exactly as plans arrive
+        assert t_sim > 0.0, "sim clock never advanced"
+        assert plan_t >= 0.0, "plan was never published"
+        assert np.abs(taus).max() > 0.0, "planner published empty torques"
+        out, _ = proc.communicate(timeout=120)
+        assert "SIM_DONE" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
