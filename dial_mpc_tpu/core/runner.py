@@ -29,9 +29,10 @@ from dial_mpc_tpu.core.dial_config import DialConfig
 from dial_mpc_tpu.core.dial_core import MBDPI
 from dial_mpc_tpu.examples import examples
 from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
+from dial_mpc_tpu.utils.telemetry import LatencyRecorder
 
 
-def run(config_dict, progress=True):
+def run(config_dict, progress=True, serve=False):
     """Run the sync receding-horizon loop; returns (summary dict)."""
     dial_config = load_dataclass_from_dict(DialConfig, config_dict)
     rng = jax.random.PRNGKey(seed=dial_config.seed)
@@ -41,7 +42,15 @@ def run(config_dict, progress=True):
         env_config_type, config_dict, convert_list_to_array=True
     )
     env = dial_envs.get_environment(dial_config.env_name, env_config)
-    mbdpi = MBDPI(dial_config, env)
+    # sharding: "none" (single device) or "mesh" (sample axis over all
+    # devices; multi-host after parallel.distributed.init_distributed)
+    sharding = config_dict.get("sharding", "none")
+    if sharding == "mesh" and len(jax.devices()) > 1:
+        from dial_mpc_tpu.parallel import ShardedMBDPI, make_sample_mesh
+
+        mbdpi = ShardedMBDPI(dial_config, env, make_sample_mesh())
+    else:
+        mbdpi = MBDPI(dial_config, env)
 
     rng, rng_reset = jax.random.split(rng)
     state = jax.jit(env.reset)(rng_reset)
@@ -55,6 +64,7 @@ def run(config_dict, progress=True):
     rews_plan = []
     predictions = []
     freqs = []
+    latency = LatencyRecorder()
 
     try:
         from tqdm import tqdm
@@ -87,6 +97,8 @@ def run(config_dict, progress=True):
         rews_plan.append(float(info["rews"][-1].mean()))
         predictions.append(np.asarray(info["xbar"][-1]))
         freqs.append(1.0 / max(elapsed, 1e-9))
+        if t > 0:  # exclude the compile step from latency stats
+            latency.add(elapsed)
         if hasattr(iterator, "set_postfix"):
             iterator.set_postfix(
                 {"rew": f"{float(state.reward):.2e}", "freq": f"{freqs[-1]:.2f}"}
@@ -94,6 +106,7 @@ def run(config_dict, progress=True):
 
     mean_rew = float(np.mean(rews))
     print(f"mean reward = {mean_rew:.2e}")
+    print(latency.report("solve latency"))
 
     # ---- artifacts (reference: dial_core.py:277-323) ----
     os.makedirs(dial_config.output_dir, exist_ok=True)
@@ -109,6 +122,7 @@ def run(config_dict, progress=True):
     np.save(os.path.join(dial_config.output_dir, f"{timestamp}_predictions"), xdata)
 
     # standalone HTML trajectory viewer
+    html_path = None
     try:
         from dial_mpc_tpu.viz.html_viewer import render_trajectory
 
@@ -120,11 +134,33 @@ def run(config_dict, progress=True):
     except Exception as e:  # viz is best-effort
         print(f"[WARN] visualization skipped: {e}")
 
+    if serve and html_path:
+        # serve the viewer like the reference's Flask app (dial_core.py:325-329)
+        import http.server
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                with open(html_path, "rb") as f:
+                    self.wfile.write(f.read())
+
+            def log_message(self, *a):
+                pass
+
+        print("serving visualization at http://localhost:5000 (Ctrl-C to stop)")
+        try:
+            http.server.HTTPServer(("", 5000), _Handler).serve_forever()
+        except KeyboardInterrupt:
+            pass
+
     return {
         "mean_reward": mean_rew,
         "rews": rews,
         "rews_plan": rews_plan,
         "freqs": freqs,
+        "latency": latency.summary(),
         "states_path": os.path.join(
             dial_config.output_dir, f"{timestamp}_states.npy"
         ),
@@ -139,6 +175,9 @@ def main():
     group.add_argument("--list-examples", action="store_true")
     parser.add_argument(
         "--custom-env", type=str, default=None, help="import path of a module that self-registers envs"
+    )
+    parser.add_argument(
+        "--serve", action="store_true", help="serve the HTML viewer at :5000 after the run"
     )
     args = parser.parse_args()
 
@@ -159,7 +198,7 @@ def main():
     with open(config_path) as f:
         config_dict = yaml.safe_load(f)
 
-    run(config_dict)
+    run(config_dict, serve=args.serve)
 
 
 if __name__ == "__main__":

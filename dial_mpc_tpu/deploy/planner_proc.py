@@ -99,12 +99,9 @@ class MBDPublisher:
 
     def init_state(self, q, qd):
         state = self.env.reset(jax.random.PRNGKey(0))
-        d = data_replace(
-            state.pipeline_state,
-            qpos=jnp.asarray(q, jnp.float32),
-            qvel=jnp.asarray(qd, jnp.float32),
+        d = self.env.pipeline_init(
+            jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32)
         )
-        d = forward(self.env.sys, d)
         obs = self.env._get_obs(d, state.info)
         return state.replace(pipeline_state=d, obs=obs)
 

@@ -99,22 +99,46 @@ class BaseEnv:
     # -- physics pipeline ---------------------------------------------------
 
     def pipeline_init(self, q: jax.Array, qd: jax.Array) -> mlib.Data:
-        """Fresh Data at (q, qd) with all derived quantities populated."""
+        """Lean Data at (q, qd): derived fields the task envs consume."""
+        from dial_mpc_tpu.physics import engine_pallas
+
         d = mlib.make_data(self.sys)
         d = data_replace(d, qpos=q.astype(d.qpos.dtype), qvel=qd.astype(d.qvel.dtype))
-        return forward(self.sys, d)
+        return engine_pallas.trim_data(self.sys, forward(self.sys, d))
 
     def pipeline_step(self, d: mlib.Data, ctrl: jax.Array) -> mlib.Data:
-        """Advance n_frames simulator steps under one control vector."""
-        d = data_replace(d, ctrl=ctrl.astype(d.ctrl.dtype))
+        """Advance n_frames simulator steps under one control vector.
+
+        On TPU this dispatches to the lane-major Pallas mega-kernel (one
+        kernel call per substep); elsewhere it runs the XLA reference
+        pipeline. Both produce the same lean Data.
+        """
+        from dial_mpc_tpu.physics import engine_pallas
+
+        ctrl = ctrl.astype(d.qpos.dtype)
+        if engine_pallas.engine_enabled():
+            core = engine_pallas.step_core_for(self.sys)
+            qpos, qvel = d.qpos, d.qvel
+            for _ in range(self._n_frames):
+                outs = core(qpos, qvel, ctrl)
+                qpos, qvel = outs[0], outs[1]
+            return engine_pallas.lean_data(
+                self.sys, d, outs, ctrl,
+                self._n_frames * self.sys.opt.timestep.astype(d.qpos.dtype),
+            )
+
+        d = data_replace(d, ctrl=ctrl)
         if self._n_frames == 1:
-            return physics_step(self.sys, d)
+            d = physics_step(self.sys, d)
+        else:
+            def body(d, _):
+                # trim keeps the scan carry identical to the lean input
+                return engine_pallas.trim_data(
+                    self.sys, physics_step(self.sys, d)
+                ), None
 
-        def body(d, _):
-            return physics_step(self.sys, d), None
-
-        d, _ = jax.lax.scan(body, d, None, length=self._n_frames)
-        return d
+            d, _ = jax.lax.scan(body, d, None, length=self._n_frames)
+        return engine_pallas.trim_data(self.sys, d)
 
     # -- action mappings (reference: base_env.py:37-66) ---------------------
 

@@ -1,0 +1,1191 @@
+"""Lane-major Pallas mega-kernel: one physics step per kernel call.
+
+The XLA pipeline streams ~40 small (B, k) arrays through HBM between
+hundreds of fusions; with the Newton solver already kernel-ized the
+remaining ~1.8 ms/step at B=2048 is kinematics/dynamics/collision traffic.
+This module generates a single kernel per model that advances a block of
+128 samples entirely in VMEM:
+
+  inputs : qpos (nq, B), qvel (nv, B), ctrl (nu, B)
+  outputs: qpos', qvel', plus exactly the products the task reward stacks
+           consume (site_xpos/site_xmat, body x/xd views, contact dist/pos)
+
+All model constants (tree topology, joint frames, inertias, contact
+parameters) are baked into the kernel as Python floats at trace time —
+they are scalars per body/joint, so they become immediate operands of the
+(B,)-lane vector ops instead of memory traffic.
+
+Everything here mirrors the reference XLA modules (kinematics.py,
+smooth.py, collision.py, constraint.py, solver.py) with the component
+axes unrolled in Python and the sample axis on the vector lanes; the XLA
+path remains the source of truth and the CPU interpret-mode tests assert
+equality.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from dial_mpc_tpu.physics import solver_pallas
+from dial_mpc_tpu.physics.model import (
+    BOX,
+    CAPSULE,
+    DSBL_EULERDAMP,
+    PLANE,
+    SPHERE,
+    Model,
+)
+
+BLOCK = 128
+FREE, BALL, SLIDE, HINGE = 0, 1, 2, 3
+_DEBUG_SINK = None
+
+# ---------------------------------------------------------------------------
+# lane algebra: vec3 = [x, y, z] of (B,) arrays; quat = [w, x, y, z]
+# ---------------------------------------------------------------------------
+
+
+def v3(x, y, z):
+    return [x, y, z]
+
+
+def vadd(a, b):
+    return [a[i] + b[i] for i in range(len(a))]
+
+
+def vsub(a, b):
+    return [a[i] - b[i] for i in range(len(a))]
+
+
+def vscale(a, s):
+    return [a[i] * s for i in range(len(a))]
+
+
+def vdot(a, b):
+    s = a[0] * b[0]
+    for i in range(1, len(a)):
+        s = s + a[i] * b[i]
+    return s
+
+
+def vcross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def vnorm(a, eps=1e-15):
+    return jnp.sqrt(jnp.maximum(vdot(a, a), eps))
+
+
+def vnormalize(a, eps=1e-15):
+    n = vnorm(a, eps)
+    return [a[i] / n for i in range(len(a))], n
+
+
+def quat_mul(u, v):
+    return [
+        u[0] * v[0] - u[1] * v[1] - u[2] * v[2] - u[3] * v[3],
+        u[0] * v[1] + u[1] * v[0] + u[2] * v[3] - u[3] * v[2],
+        u[0] * v[2] - u[1] * v[3] + u[2] * v[0] + u[3] * v[1],
+        u[0] * v[3] + u[1] * v[2] - u[2] * v[1] + u[3] * v[0],
+    ]
+
+
+def quat_rot(v, q):
+    """Rotate vec3 v by quat q (world = q * body)."""
+    u = [q[1], q[2], q[3]]
+    uv = vcross(u, v)
+    uuv = vcross(u, uv)
+    return [v[i] + 2.0 * (q[0] * uv[i] + uuv[i]) for i in range(3)]
+
+
+def quat_normalize(q):
+    n = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    return [q[i] / jnp.maximum(n, 1e-15) for i in range(4)]
+
+
+def quat_to_mat(q):
+    """3x3 rotation as list-of-lists of lanes."""
+    w, x, y, z = q
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def mat_col(R, j):
+    return [R[0][j], R[1][j], R[2][j]]
+
+
+def mat_vec(R, v):
+    return [vdot(R[i], v) for i in range(3)]
+
+
+def motion_cross(v, m):
+    """Spatial [ang; lin] cross product; v, m are 6-lists of lanes."""
+    va, vl = v[:3], v[3:]
+    ma, ml = m[:3], m[3:]
+    ang = vcross(va, ma)
+    lin = vadd(vcross(va, ml), vcross(vl, ma))
+    return ang + lin
+
+
+def force_cross(v, f):
+    va, vl = v[:3], v[3:]
+    fa, fl_ = f[:3], f[3:]
+    ang = vadd(vcross(va, fa), vcross(vl, fl_))
+    lin = vcross(va, fl_)
+    return ang + lin
+
+
+def _const(mj_arr):
+    """Static model constant -> python float(s) baked into the kernel."""
+    return np.asarray(jax.device_get(mj_arr)).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# kernel generation
+# ---------------------------------------------------------------------------
+
+
+def _build_step_kernel(m: Model, block: int):
+    """Generate the per-block step kernel for model m (constants baked)."""
+    nq, nv, nu = m.nq, m.nv, m.nu
+    nbody, njnt, nsite, ncon = m.nbody, m.njnt, m.nsite, m.ncon
+
+    # ---- static host-side copies of all model constants ----
+    body_pos = _const(m.body_pos)
+    body_quat = _const(m.body_quat)
+    body_ipos = _const(m.body_ipos)
+    body_iquat = _const(m.body_iquat)
+    body_mass = _const(m.body_mass)
+    body_inertia = _const(m.body_inertia)
+    body_invw = _const(m.body_invweight0)
+    jnt_pos = _const(m.jnt_pos)
+    jnt_axis = _const(m.jnt_axis)
+    jnt_range = _const(m.jnt_range)
+    jnt_solref = _const(m.jnt_solref)
+    jnt_solimp = _const(m.jnt_solimp)
+    jnt_margin = _const(m.jnt_margin)
+    qpos0 = _const(m.qpos0)
+    dof_armature = _const(m.dof_armature)
+    dof_damping = _const(m.dof_damping)
+    dof_invw = _const(m.dof_invweight0)
+    dof_frictionloss = _const(m.dof_frictionloss)
+    dof_solref = _const(m.dof_solref)
+    dof_solimp = _const(m.dof_solimp)
+    geom_pos = _const(m.geom_pos)
+    geom_quat = _const(m.geom_quat)
+    geom_size = _const(m.geom_size)
+    site_pos = _const(m.site_pos)
+    site_quat = _const(m.site_quat)
+    site_bodyid = np.asarray(jax.device_get(m.site_bodyid))
+    geom_bodyid = m.geom_bodyid_static
+    act_gear = _const(m.actuator_gear)
+    act_gain = _const(m.actuator_gainprm)
+    act_bias = _const(m.actuator_biasprm)
+    act_cr = _const(m.actuator_ctrlrange)
+    act_crl = _const(m.actuator_ctrllimited)
+    act_fr = _const(m.actuator_forcerange)
+    act_frl = _const(m.actuator_forcelimited)
+    act_dofadr = np.asarray(jax.device_get(m.actuator_dofadr))
+    con_fri = _const(m.con_friction)
+    con_solref = _const(m.con_solref)
+    con_solimp = _const(m.con_solimp)
+    con_inclm = _const(m.con_includemargin)
+    con_dim = np.asarray(jax.device_get(m.con_dim))
+    con_geom = np.asarray(jax.device_get(m.con_geom))
+    gravity = _const(m.opt.gravity)
+    timestep = float(_const(m.opt.timestep))
+    impratio = float(_const(m.opt.impratio))
+    anc_mask = _const(m.dof_ancestor_mask)
+    chain_mask = _const(m.body_chain_mask)
+
+    elliptic = m.opt.cone == 1
+    eulerdamp = not (m.opt.disableflags & DSBL_EULERDAMP)
+
+    # dof -> (joint, within-joint index) for qpos integration
+    MJ_MINVAL = 1e-15
+
+    def impedance(solimp, pos):
+        d0, dmax, width, mid, power = solimp
+        x = jnp.abs(pos) / max(width, MJ_MINVAL)
+        ya = x**power / max(mid ** (power - 1.0), MJ_MINVAL)
+        yb = 1.0 - (1.0 - x) ** power / max((1.0 - mid) ** (power - 1.0), MJ_MINVAL)
+        y = jnp.where(x < mid, ya, yb)
+        imp = jnp.clip(d0 + y * (dmax - d0), 1e-4, 0.9999)
+        return jnp.where(x > 1.0, dmax, imp)
+
+    def kbi(solref, solimp, pos, vel):
+        imp = impedance(solimp, pos)
+        dmax = solimp[1]
+        timeconst = max(solref[0], 2.0 * timestep)
+        dampratio = solref[1]
+        b = 2.0 / max(dmax * timeconst, MJ_MINVAL)
+        k = 1.0 / max(
+            dmax * dmax * timeconst * timeconst * dampratio * dampratio, MJ_MINVAL
+        )
+        if solref[0] <= 0:
+            k = -solref[0] / max(dmax * dmax, MJ_MINVAL)
+        if solref[1] <= 0:
+            b = -solref[1] / max(dmax, MJ_MINVAL)
+        aref = -b * vel - k * imp * pos
+        return imp, aref
+
+    def make_frame(n):
+        """mju_makeFrame rows [n; t1; t2] (collision.py:make_frame)."""
+        ref_y = jnp.abs(n[1]) < 0.5
+        ref = [jnp.zeros_like(n[0]), jnp.where(ref_y, 1.0, 0.0), jnp.where(ref_y, 0.0, 1.0)]
+        t2, _ = vnormalize(vcross(n, ref))
+        t1 = vcross(t2, n)
+        return [n, t1, t2]
+
+    def axis_frame(n, axis):
+        """Plane-capsule frame with t1 = projected capsule axis."""
+        t1r = vsub(axis, vscale(n, vdot(axis, n)))
+        t1, norm = vnormalize(t1r)
+        t2 = vcross(n, t1)
+        fallback = make_frame(n)
+        ok = norm > 1e-10
+        return [
+            [jnp.where(ok, a, b) for a, b in zip(row, frow)]
+            for row, frow in zip([n, t1, t2], fallback)
+        ]
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref,
+               qpos_out, qvel_out, site_xpos_out, site_xmat_out,
+               xpos_out, xrot_out, xdvel_out, xdang_out,
+               cdist_out, cpos_out, qacc_out):
+        qp = [qpos_ref[i] for i in range(nq)]
+        qv = [qvel_ref[i] for i in range(nv)]
+        ct = [ctrl_ref[i] for i in range(nu)]
+        B = qp[0].shape
+        zero = jnp.zeros_like(qp[0])
+        one = jnp.ones_like(qp[0])
+
+        def cv(x):  # bake a python constant as an immediate
+            return x * one if not isinstance(x, (int, float)) else float(x)
+
+        # ---- kinematics (kinematics.py:22-111) ----
+        xpos = [[zero, zero, zero]]
+        xquat = [[one, zero, zero, zero]]
+        xanchor = [None] * njnt
+        xaxis = [None] * njnt
+        for b in range(1, nbody):
+            p = m.body_parentid[b]
+            pos = vadd(xpos[p], quat_rot(list(body_pos[b]), xquat[p]))
+            quat = quat_mul(xquat[p], list(body_quat[b]))
+            jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+            for k in range(jnum):
+                j = jadr + k
+                jt = m.jnt_type[j]
+                qadr = m.jnt_qposadr[j]
+                if jt == FREE:
+                    pos = [qp[qadr], qp[qadr + 1], qp[qadr + 2]]
+                    quat = quat_normalize(
+                        [qp[qadr + 3], qp[qadr + 4], qp[qadr + 5], qp[qadr + 6]]
+                    )
+                    xanchor[j] = pos
+                    xaxis[j] = [cv(a) for a in jnt_axis[j]]
+                elif jt == SLIDE:
+                    axis = quat_rot(list(jnt_axis[j]), quat)
+                    xanchor[j] = vadd(pos, quat_rot(list(jnt_pos[j]), quat))
+                    xaxis[j] = axis
+                    pos = vadd(pos, vscale(axis, qp[qadr] - qpos0[qadr]))
+                elif jt == HINGE:
+                    anchor = vadd(pos, quat_rot(list(jnt_pos[j]), quat))
+                    angle = qp[qadr] - qpos0[qadr]
+                    s, c = jnp.sin(angle * 0.5), jnp.cos(angle * 0.5)
+                    qloc = [c, jnt_axis[j][0] * s, jnt_axis[j][1] * s, jnt_axis[j][2] * s]
+                    quat = quat_mul(quat, qloc)
+                    pos = vsub(anchor, quat_rot(list(jnt_pos[j]), quat))
+                    xanchor[j] = anchor
+                    xaxis[j] = quat_rot(list(jnt_axis[j]), quat)
+                else:
+                    raise NotImplementedError("ball joints")
+            xpos.append(pos)
+            xquat.append(quat_normalize(quat))
+
+        xmat = [quat_to_mat(q) for q in xquat]
+        xipos = [
+            vadd(xpos[b], quat_rot(list(body_ipos[b]), xquat[b]))
+            for b in range(nbody)
+        ]
+        ximat = [quat_to_mat(quat_mul(xquat[b], list(body_iquat[b]))) for b in range(nbody)]
+
+        # geom / site frames (collidable geoms + all sites)
+        geom_x = {}
+        geom_R = {}
+        for (g1, g2, t1, t2, condim, conadr, conmax) in m.pair_table:
+            for g in (g1, g2):
+                if g in geom_x:
+                    continue
+                b = geom_bodyid[g]
+                geom_x[g] = vadd(xpos[b], quat_rot(list(geom_pos[g]), xquat[b]))
+                geom_R[g] = quat_to_mat(quat_mul(xquat[b], list(geom_quat[g])))
+        site_x = []
+        site_R = []
+        for s in range(nsite):
+            b = int(site_bodyid[s])
+            site_x.append(vadd(xpos[b], quat_rot(list(site_pos[s]), xquat[b])))
+            site_R.append(quat_to_mat(quat_mul(xquat[b], list(site_quat[s]))))
+
+        # ---- com quantities (kinematics.py:120-173) ----
+        wsum = [vscale(xipos[b], float(body_mass[b])) for b in range(nbody)]
+        msum = [float(body_mass[b]) for b in range(nbody)]
+        wsum_acc = [list(w) for w in wsum]
+        msum_acc = list(msum)
+        for b in range(nbody - 1, 0, -1):
+            p = m.body_parentid[b]
+            wsum_acc[p] = vadd(wsum_acc[p], wsum_acc[b])
+            msum_acc[p] = msum_acc[p] + msum_acc[b]
+        subtree_com = [
+            vscale(wsum_acc[b], 1.0 / max(msum_acc[b], 1e-15)) for b in range(nbody)
+        ]
+
+        # spatial inertia of each body about its tree root's subtree com
+        def spatial_inertia(mass, Iw, c):
+            # returns 6x6 list-of-lists: [[I + m c^ c^T, m c^],[m c^T, m 1]]
+            cx = [
+                [zero, -c[2], c[1]],
+                [c[2], zero, -c[0]],
+                [-c[1], c[0], zero],
+            ]
+            mcx = [[mass * cx[i][j] for j in range(3)] for i in range(3)]
+            # I + m cx cx^T
+            tl = [
+                [
+                    Iw[i][j]
+                    + mass * (cx[i][0] * cx[j][0] + cx[i][1] * cx[j][1] + cx[i][2] * cx[j][2])
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            M6 = [[None] * 6 for _ in range(6)]
+            for i in range(3):
+                for j in range(3):
+                    M6[i][j] = tl[i][j]
+                    M6[i][3 + j] = mcx[i][j]
+                    M6[3 + i][j] = mcx[j][i]
+                    M6[3 + i][3 + j] = mass * (1.0 if i == j else 0.0) * one
+            return M6
+
+        cinert = []
+        for b in range(nbody):
+            root = m.body_rootid[b]
+            offset = vsub(xipos[b], subtree_com[root])
+            # world-aligned rotational inertia: R diag(I) R^T
+            R = ximat[b]
+            I3 = body_inertia[b]
+            Iw = [
+                [
+                    R[i][0] * I3[0] * R[j][0]
+                    + R[i][1] * I3[1] * R[j][1]
+                    + R[i][2] * I3[2] * R[j][2]
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            cinert.append(spatial_inertia(float(body_mass[b]), Iw, offset))
+
+        cdof = [None] * nv
+        for j in range(njnt):
+            jt = m.jnt_type[j]
+            b = m.jnt_bodyid[j]
+            da = m.jnt_dofadr[j]
+            o = subtree_com[m.body_rootid[b]]
+            if jt == FREE:
+                for i in range(3):
+                    e = [zero, zero, zero]
+                    e[i] = one
+                    cdof[da + i] = [zero, zero, zero] + e
+                for i in range(3):
+                    ax = mat_col(xmat[b], i)
+                    lin = vcross(ax, vsub(o, xpos[b]))
+                    cdof[da + 3 + i] = ax + lin
+            elif jt == SLIDE:
+                cdof[da] = [zero, zero, zero] + xaxis[j]
+            elif jt == HINGE:
+                ax = xaxis[j]
+                lin = vcross(ax, vsub(o, xanchor[j]))
+                cdof[da] = ax + lin
+
+        # ---- crb mass matrix (smooth.py:19-37) ----
+        crb_acc = [[[cinert[b][i][j] for j in range(6)] for i in range(6)] for b in range(nbody)]
+        for b in range(nbody - 1, 0, -1):
+            p = m.body_parentid[b]
+            if p > 0:
+                for i in range(6):
+                    for j in range(6):
+                        crb_acc[p][i][j] = crb_acc[p][i][j] + crb_acc[b][i][j]
+
+        def m6v(M6, v):
+            return [vdot(M6[i], v) for i in range(6)]
+
+        F = [m6v(crb_acc[m.dof_bodyid[i]], cdof[i]) for i in range(nv)]
+        Mrows = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(nv):
+                if anc_mask[i][j] or anc_mask[j][i]:
+                    lo, hi = (i, j) if j <= i else (j, i)
+                    val = vdot(F[lo], cdof[hi])
+                    Mrows[i][j] = val
+                else:
+                    Mrows[i][j] = zero
+            Mrows[i][i] = Mrows[i][i] + float(dof_armature[i])
+
+        # ---- com_vel (kinematics.py:176-209) ----
+        cvel = [[zero] * 6]
+        cdof_dot = [None] * nv
+        for b in range(1, nbody):
+            p = m.body_parentid[b]
+            v6 = list(cvel[p])
+            jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+            for k in range(jnum):
+                j = jadr + k
+                jt = m.jnt_type[j]
+                da = m.jnt_dofadr[j]
+                if jt == FREE:
+                    for i in range(3):
+                        cdof_dot[da + i] = [zero] * 6
+                    for i in range(3):
+                        v6 = [v6[x] + cdof[da + i][x] * qv[da + i] for x in range(6)]
+                        # note: translation dofs accumulate before rotation
+                    for i in range(3):
+                        cdof_dot[da + 3 + i] = motion_cross(v6, cdof[da + 3 + i])
+                    for i in range(3):
+                        v6 = [v6[x] + cdof[da + 3 + i][x] * qv[da + 3 + i] for x in range(6)]
+                else:
+                    cdof_dot[da] = motion_cross(v6, cdof[da])
+                    v6 = [v6[x] + cdof[da][x] * qv[da] for x in range(6)]
+            cvel.append(v6)
+
+        # ---- rne bias (smooth.py:46-78) ----
+        cacc = [[zero, zero, zero, -float(gravity[0]) * one, -float(gravity[1]) * one, -float(gravity[2]) * one]]
+        for b in range(1, nbody):
+            p = m.body_parentid[b]
+            da, dn = m.body_dofadr[b], m.body_dofnum[b]
+            acc = list(cacc[p])
+            for i in range(dn):
+                cd = cdof_dot[da + i]
+                acc = [acc[x] + cd[x] * qv[da + i] for x in range(6)]
+            cacc.append(acc)
+        cfrc = [None] * nbody
+        for b in range(1, nbody):
+            I6 = cinert[b]
+            h6 = m6v(I6, cvel[b])
+            f6 = m6v(I6, cacc[b])
+            fc = force_cross(cvel[b], h6)
+            cfrc[b] = [f6[x] + fc[x] for x in range(6)]
+        for b in range(nbody - 1, 1, -1):
+            p = m.body_parentid[b]
+            if p > 0:
+                cfrc[p] = [cfrc[p][x] + cfrc[b][x] for x in range(6)]
+        qfrc_bias = [vdot(cdof[i], cfrc[m.dof_bodyid[i]]) for i in range(nv)]
+
+        # ---- passive + actuation (smooth.py:81-131) ----
+        qfrc_passive = [-float(dof_damping[i]) * qv[i] for i in range(nv)]
+        qfrc_act = [zero] * nv
+        for u in range(nu):
+            c = ct[u]
+            if act_crl[u] > 0:
+                c = jnp.clip(c, act_cr[u][0], act_cr[u][1])
+            gain = float(act_gain[u][0])
+            force = gain * c
+            if m.actuator_biastype[u] == 1:
+                qadr = m.jnt_qposadr[m.actuator_trnid[u]]
+                length = qp[qadr] * float(act_gear[u])
+                vel = qv[int(act_dofadr[u])] * float(act_gear[u])
+                force = force + (
+                    float(act_bias[u][0])
+                    + float(act_bias[u][1]) * length
+                    + float(act_bias[u][2]) * vel
+                )
+            if act_frl[u] > 0:
+                force = jnp.clip(force, act_fr[u][0], act_fr[u][1])
+            i = int(act_dofadr[u])
+            qfrc_act[i] = qfrc_act[i] + force * float(act_gear[u])
+
+        qfrc_smooth = [
+            qfrc_passive[i] + qfrc_act[i] - qfrc_bias[i] for i in range(nv)
+        ]
+        qacc_smooth = solver_pallas._chol_solve_lanes(Mrows, qfrc_smooth, nv)
+        if _DEBUG_SINK is not None:
+            _DEBUG_SINK.update(
+                qfrc_bias=qfrc_bias, qfrc_act=qfrc_act,
+                qfrc_passive=qfrc_passive, qacc_smooth=qacc_smooth,
+                Mrows=Mrows, cvel=cvel, cdof=cdof,
+            )
+
+        # ---- collision (collision.py) ----
+        con_dist = [None] * ncon
+        con_pos = [None] * ncon
+        con_frame = [None] * ncon
+
+        def plane_sphere(pp, pn, c, r):
+            dist = vdot(pn, vsub(c, pp)) - r
+            pos = vsub(c, vscale(pn, r + 0.5 * dist))
+            return dist, pos
+
+        def sphere_sphere(c1, r1, c2, r2):
+            dvec = vsub(c2, c1)
+            dc = vnorm(dvec)
+            n = vscale(dvec, 1.0 / dc)
+            dist = dc - (r1 + r2)
+            pos = vadd(c1, vscale(n, r1 + 0.5 * dist))
+            return dist, pos, n
+
+        def closest_on_seg(p, c, axis, hl):
+            t = jnp.clip(vdot(vsub(p, c), axis), -hl, hl)
+            return vadd(c, vscale(axis, t))
+
+        def closest_pt_on_box(pl, size):
+            cl = [jnp.clip(pl[i], -size[i], size[i]) for i in range(3)]
+            inside = (
+                (jnp.abs(pl[0]) < size[0])
+                & (jnp.abs(pl[1]) < size[1])
+                & (jnp.abs(pl[2]) < size[2])
+            )
+            gaps = [size[i] - jnp.abs(pl[i]) for i in range(3)]
+            gmin01 = jnp.minimum(gaps[0], gaps[1])
+            ax_is0 = (gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2])
+            ax_is1 = (~ax_is0) & (gaps[1] <= gaps[2])
+            ax_is2 = (~ax_is0) & (~ax_is1)
+            face = []
+            for i, axm in enumerate([ax_is0, ax_is1, ax_is2]):
+                sgn = jnp.sign(pl[i])
+                sgn = jnp.where(sgn == 0, 1.0, sgn)
+                face.append(jnp.where(axm, sgn * size[i], pl[i]))
+            return [jnp.where(inside, face[i], cl[i]) for i in range(3)], inside
+
+        def sphere_box(c1, r1, bc, bR, size):
+            rel = vsub(c1, bc)
+            pl = [vdot(mat_col(bR, i), rel) for i in range(3)]
+            cpl, inside = closest_pt_on_box(pl, size)
+            cp = vadd(bc, mat_vec(bR, cpl))  # bR @ cpl (world)
+            dvec = vsub(cp, c1)
+            dc = vnorm(dvec)
+            n_out = vscale(dvec, 1.0 / dc)
+            n = [jnp.where(inside, -n_out[i], n_out[i]) for i in range(3)]
+            dist = jnp.where(inside, -(dc + r1), dc - r1)
+            pos = vadd(c1, vscale(n, r1 + 0.5 * dist))
+            return dist, pos, n
+
+        for (g1, g2, t1, t2, condim, conadr, conmax) in m.pair_table:
+            p1, p2 = geom_x[g1], geom_x[g2]
+            R1, R2 = geom_R[g1], geom_R[g2]
+            s1, s2 = geom_size[g1], geom_size[g2]
+            key = (t1, t2)
+            if key == (PLANE, SPHERE):
+                pn = mat_col(R1, 2)
+                dist, pos = plane_sphere(p1, pn, p2, s2[0])
+                con_dist[conadr] = dist
+                con_pos[conadr] = pos
+                con_frame[conadr] = make_frame(pn)
+            elif key == (PLANE, CAPSULE):
+                pn = mat_col(R1, 2)
+                axis = mat_col(R2, 2)
+                fr = axis_frame(pn, axis)
+                for e, sgn in enumerate((1.0, -1.0)):
+                    ep = vadd(p2, vscale(axis, sgn * s2[1]))
+                    dist, pos = plane_sphere(p1, pn, ep, s2[0])
+                    con_dist[conadr + e] = dist
+                    con_pos[conadr + e] = pos
+                    con_frame[conadr + e] = fr
+            elif key == (PLANE, BOX):
+                pn = mat_col(R1, 2)
+                corners = []
+                for sx in (-1, 1):
+                    for sy in (-1, 1):
+                        for sz in (-1, 1):
+                            local = [sx * s2[0], sy * s2[1], sz * s2[2]]
+                            corners.append(vadd(p2, mat_vec(R2, [cv(local[0]), cv(local[1]), cv(local[2])])))
+                dists = [vdot(c, pn) - vdot(pn, p1) for c in corners]
+                # 4 deepest of 8: partial selection network
+                idx = list(range(8))
+                # compute sorted order via repeated min extraction on lanes:
+                picked = []
+                remaining_d = list(dists)
+                remaining_c = [list(c) for c in corners]
+                for _ in range(4):
+                    dmin = remaining_d[0]
+                    cmin = remaining_c[0]
+                    for t in range(1, len(remaining_d)):
+                        better = remaining_d[t] < dmin
+                        new_c = [jnp.where(better, remaining_c[t][x], cmin[x]) for x in range(3)]
+                        # swap the running min into slot t (selection pass)
+                        remaining_c[t] = [
+                            jnp.where(better, cmin[x], remaining_c[t][x]) for x in range(3)
+                        ]
+                        new_d = jnp.minimum(remaining_d[t], dmin)
+                        remaining_d[t] = jnp.where(better, dmin, remaining_d[t])
+                        dmin, cmin = new_d, new_c
+                    remaining_d = remaining_d[1:]
+                    remaining_c = remaining_c[1:]
+                    picked.append((dmin, cmin))
+                fr = make_frame(pn)
+                for e, (dist, cpt) in enumerate(picked):
+                    pos = vsub(cpt, vscale(pn, 0.5 * dist))
+                    con_dist[conadr + e] = dist
+                    con_pos[conadr + e] = pos
+                    con_frame[conadr + e] = fr
+            elif key == (SPHERE, SPHERE):
+                dist, pos, n = sphere_sphere(p1, s1[0], p2, s2[0])
+                con_dist[conadr] = dist
+                con_pos[conadr] = pos
+                con_frame[conadr] = make_frame(n)
+            elif key == (SPHERE, CAPSULE):
+                axis = mat_col(R2, 2)
+                cp = closest_on_seg(p1, p2, axis, s2[1])
+                dist, pos, n = sphere_sphere(p1, s1[0], cp, s2[0])
+                con_dist[conadr] = dist
+                con_pos[conadr] = pos
+                con_frame[conadr] = make_frame(n)
+            elif key == (SPHERE, BOX):
+                dist, pos, n = sphere_box(p1, s1[0], p2, R2, s2)
+                con_dist[conadr] = dist
+                con_pos[conadr] = pos
+                con_frame[conadr] = make_frame(n)
+            elif key == (CAPSULE, CAPSULE):
+                a1, a2 = mat_col(R1, 2), mat_col(R2, 2)
+                r = vsub(p1, p2)
+                Bd = vdot(a1, a2)
+                Dd = vdot(a1, r)
+                E = vdot(a2, r)
+                denom = 1.0 - Bd * Bd
+                s = jnp.where(denom > 1e-12, (Bd * E - Dd) / jnp.maximum(denom, 1e-12), 0.0)
+                s = jnp.clip(s, -s1[1], s1[1])
+                t = jnp.clip(Bd * s + E, -s2[1], s2[1])
+                s = jnp.clip(Bd * t - Dd, -s1[1], s1[1])
+                q1 = vadd(p1, vscale(a1, s))
+                q2 = vadd(p2, vscale(a2, t))
+                dist, pos, n = sphere_sphere(q1, s1[0], q2, s2[0])
+                con_dist[conadr] = dist
+                con_pos[conadr] = pos
+                con_frame[conadr] = make_frame(n)
+            elif key == (CAPSULE, BOX):
+                axis = mat_col(R1, 2)
+                for e, sgn in enumerate((1.0, -1.0)):
+                    ep = vadd(p1, vscale(axis, sgn * s1[1]))
+                    dist, pos, n = sphere_box(ep, s1[0], p2, R2, s2)
+                    con_dist[conadr + e] = dist
+                    con_pos[conadr + e] = pos
+                    con_frame[conadr + e] = make_frame(n)
+            elif key == (BOX, BOX):
+                # corner-vs-box both ways, deepest 8 of 16
+                cands = []
+                for (ca, Ra, sa, cb, Rb, sb, flip) in (
+                    (p1, R1, s1, p2, R2, s2, False),
+                    (p2, R2, s2, p1, R1, s1, True),
+                ):
+                    for sx in (-1, 1):
+                        for sy in (-1, 1):
+                            for sz in (-1, 1):
+                                corner = vadd(
+                                    ca,
+                                    mat_vec(Ra, [cv(sx * sa[0]), cv(sy * sa[1]), cv(sz * sa[2])]),
+                                )
+                                dist, pos, n = sphere_box(corner, 0.0, cb, Rb, sb)
+                                if flip:
+                                    n = [-x for x in n]
+                                cands.append((dist, pos, n))
+                # select 8 deepest by repeated min extraction
+                rem = [[c[0], list(c[1]), list(c[2])] for c in cands]
+                for e in range(8):
+                    dmin, pmin, nmin = rem[0][0], rem[0][1], rem[0][2]
+                    for t in range(1, len(rem)):
+                        better = rem[t][0] < dmin
+                        new_p = [jnp.where(better, rem[t][1][x], pmin[x]) for x in range(3)]
+                        new_n = [jnp.where(better, rem[t][2][x], nmin[x]) for x in range(3)]
+                        rem[t][1] = [jnp.where(better, pmin[x], rem[t][1][x]) for x in range(3)]
+                        rem[t][2] = [jnp.where(better, nmin[x], rem[t][2][x]) for x in range(3)]
+                        new_d = jnp.minimum(rem[t][0], dmin)
+                        rem[t][0] = jnp.where(better, dmin, rem[t][0])
+                        dmin, pmin, nmin = new_d, new_p, new_n
+                    rem = rem[1:]
+                    con_dist[conadr + e] = dmin
+                    con_pos[conadr + e] = pmin
+                    con_frame[conadr + e] = make_frame(nmin)
+            else:
+                raise NotImplementedError(f"collider {key}")
+
+        # ---- constraint rows (constraint.py) ----
+        rows_J = []  # each: list of nv lanes
+        rows_D = []
+        rows_aref = []
+        rows_fl = []
+        rows_eta = []
+
+        for i in range(nv):
+            if m.dof_frictionloss_static[i] <= 0:
+                continue
+            J = [zero] * nv
+            J[i] = one
+            imp, aref = kbi(dof_solref[i], dof_solimp[i], zero, qv[i])
+            R = jnp.maximum((1.0 - imp) / imp * dof_invw[i], MJ_MINVAL)
+            rows_J.append(J)
+            rows_D.append(1.0 / R)
+            rows_aref.append(aref)
+            rows_fl.append(float(dof_frictionloss[i]) * one)
+            rows_eta.append(zero)
+
+        from dial_mpc_tpu.physics.model import DSBL_LIMIT
+
+        if not (m.opt.disableflags & DSBL_LIMIT):
+            for j in range(njnt):
+                if not m.jnt_limited[j] or m.jnt_type[j] not in (SLIDE, HINGE):
+                    continue
+                qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+                q = qp[qadr]
+                lo, hi = jnt_range[j][0], jnt_range[j][1]
+                dist_lo = q - lo
+                dist_hi = hi - q
+                use_lo = dist_lo < dist_hi
+                dist = jnp.where(use_lo, dist_lo, dist_hi)
+                sign = jnp.where(use_lo, 1.0, -1.0)
+                pos = dist - jnt_margin[j]
+                active = (dist < jnt_margin[j]).astype(qp[0].dtype)
+                J = [zero] * nv
+                J[dadr] = sign
+                vel = sign * qv[dadr]
+                imp, aref = kbi(jnt_solref[j], jnt_solimp[j], pos, vel)
+                R = jnp.maximum((1.0 - imp) / imp * dof_invw[dadr], MJ_MINVAL)
+                rows_J.append([J[i] * active for i in range(nv)])
+                rows_D.append(active / R)
+                rows_aref.append(aref * active)
+                rows_fl.append(zero)
+                rows_eta.append(zero)
+
+        groups = []
+        slot_meta = []
+        for (g1, g2, t1, t2, condim, conadr, conmax) in m.pair_table:
+            for k in range(conmax):
+                slot_meta.append((conadr + k, g1, g2, condim))
+        for (slot, g1, g2, condim) in slot_meta:
+            b1 = geom_bodyid[g1]
+            b2 = geom_bodyid[g2]
+            point = con_pos[slot]
+            frame = con_frame[slot]
+            pos = con_dist[slot] - con_inclm[slot]
+            active = (con_dist[slot] < con_inclm[slot]).astype(qp[0].dtype)
+
+            def pj(body):
+                root = m.body_rootid[body]
+                off = vsub(point, subtree_com[root])
+                jacp = []
+                jacr = []
+                for i in range(nv):
+                    if chain_mask[body][i]:
+                        ang = cdof[i][:3]
+                        lin = cdof[i][3:]
+                        jacp.append(vadd(lin, vcross(ang, off)))
+                        jacr.append(ang)
+                    else:
+                        jacp.append(None)
+                        jacr.append(None)
+                return jacp, jacr
+
+            jacp1, jacr1 = pj(b1)
+            jacp2, jacr2 = pj(b2)
+
+            def drow(jac1, jac2, direction):
+                row = []
+                for i in range(nv):
+                    a = jac2[i]
+                    bq = jac1[i]
+                    if a is None and bq is None:
+                        row.append(zero)
+                    elif bq is None:
+                        row.append(vdot(a, direction))
+                    elif a is None:
+                        row.append(-vdot(bq, direction))
+                    else:
+                        row.append(vdot(vsub(a, bq), direction))
+                return row
+
+            Jn = drow(jacp1, jacp2, frame[0])
+            imp, _ = kbi(con_solref[slot], con_solimp[slot], pos, zero)
+            invw_t = body_invw[b1][0] + body_invw[b2][0]
+            invw_r = body_invw[b1][1] + body_invw[b2][1]
+
+            def jrow_vel(row):
+                return sum(row[i] * qv[i] for i in range(nv))
+
+            if condim == 1:
+                vel = jrow_vel(Jn)
+                _, aref = kbi(con_solref[slot], con_solimp[slot], pos, vel)
+                R = jnp.maximum((1.0 - imp) / imp * invw_t, MJ_MINVAL)
+                rows_J.append([Jn[i] * active for i in range(nv)])
+                rows_D.append(active / R)
+                rows_aref.append(aref * active)
+                rows_fl.append(zero)
+                rows_eta.append(zero)
+            elif elliptic:
+                fri = con_fri[slot]
+                mu = float(fri[0])
+                etas = [float(x) for x in fri[: condim - 1]]
+                Rn = jnp.maximum((1.0 - imp) / imp * invw_t, MJ_MINVAL)
+                vel_n = jrow_vel(Jn)
+                _, aref_n = kbi(con_solref[slot], con_solimp[slot], pos, vel_n)
+                groups.append((len(rows_J), condim))
+                rows_J.append([Jn[i] * active for i in range(nv)])
+                rows_D.append(active / Rn)
+                rows_aref.append(aref_n * active)
+                rows_fl.append(zero)
+                rows_eta.append(zero)
+                fric_rows = [drow(jacp1, jacp2, frame[1]), drow(jacp1, jacp2, frame[2])]
+                if condim > 3:
+                    fric_rows.append(drow(jacr1, jacr2, frame[0]))
+                if condim > 4:
+                    fric_rows += [drow(jacr1, jacr2, frame[1]), drow(jacr1, jacr2, frame[2])]
+                for eta_i, Jf in zip(etas, fric_rows):
+                    Ri = Rn * mu * mu / max(eta_i * eta_i * impratio, MJ_MINVAL)
+                    vel = jrow_vel(Jf)
+                    _, aref_f = kbi(con_solref[slot], con_solimp[slot], zero, vel)
+                    rows_J.append([Jf[i] * active for i in range(nv)])
+                    rows_D.append(active / Ri)
+                    rows_aref.append(aref_f * active)
+                    rows_fl.append(zero)
+                    rows_eta.append(eta_i * one)
+            else:
+                fri = con_fri[slot]
+                tdirs = [drow(jacp1, jacp2, frame[1]), drow(jacp1, jacp2, frame[2])]
+                if condim == 6:
+                    tdirs += [
+                        drow(jacr1, jacr2, frame[0]),
+                        drow(jacr1, jacr2, frame[1]),
+                        drow(jacr1, jacr2, frame[2]),
+                    ]
+                    invw_ax = [invw_t, invw_t, invw_r, invw_r, invw_r]
+                else:
+                    invw_ax = [invw_t, invw_t]
+                for kdir, Jt in enumerate(tdirs):
+                    mu = float(con_fri[slot][kdir])
+                    invw_fac = invw_t + mu * mu * invw_ax[kdir]
+                    R = jnp.maximum(
+                        (1.0 - imp) / imp * invw_fac * 2.0 * mu * mu, MJ_MINVAL
+                    )
+                    for sgn in (1.0, -1.0):
+                        Jrow = [Jn[i] + sgn * mu * Jt[i] for i in range(nv)]
+                        vel = jrow_vel(Jrow)
+                        _, aref = kbi(con_solref[slot], con_solimp[slot], pos, vel)
+                        rows_J.append([Jrow[i] * active for i in range(nv)])
+                        rows_D.append(active / R)
+                        rows_aref.append(aref * active)
+                        rows_fl.append(zero)
+                        rows_eta.append(zero)
+
+        nefc = len(rows_J)
+
+        # ---- Newton solve (shared in-kernel routine) ----
+        if nefc:
+            J = jnp.stack([jnp.stack(r, axis=0) for r in rows_J], axis=0)
+            Jc = jnp.swapaxes(J, 0, 1)
+            Dv = jnp.stack(rows_D, axis=0)
+            arefv = jnp.stack(rows_aref, axis=0)
+            flv = jnp.stack(rows_fl, axis=0)
+            etav = jnp.stack(rows_eta, axis=0)
+            Mmat = jnp.stack(
+                [jnp.stack(Mrows[i], axis=0) for i in range(nv)], axis=0
+            )
+            qs = jnp.stack(qacc_smooth, axis=0)
+            x, _f = solver_pallas.newton_solve(
+                J, Jc, Dv, arefv, flv, etav, Mmat, qs,
+                nv=nv,
+                nefc=nefc,
+                iterations=m.opt.iterations,
+                ls_iterations=m.opt.ls_iterations,
+                tolerance=float(m.opt.tolerance),
+                groups=tuple(groups),
+                impratio=impratio,
+            )
+            qacc = [x[i] for i in range(nv)]
+            qfrc_con = [_f[i] for i in range(nv)]
+        else:
+            qacc = qacc_smooth
+            qfrc_con = [zero] * nv
+
+        # ---- integrate (forward.py:43-88) ----
+        h = timestep
+        if eulerdamp:
+            MhB = [
+                [
+                    Mrows[i][j] + (h * float(dof_damping[i]) if i == j else 0.0)
+                    for j in range(nv)
+                ]
+                for i in range(nv)
+            ]
+            qfrc_tot = [
+                qfrc_smooth[i] + qfrc_con[i] for i in range(nv)
+            ]
+            qacc_int = solver_pallas._chol_solve_lanes(MhB, qfrc_tot, nv)
+        else:
+            qacc_int = qacc
+
+        qv_new = [qv[i] + h * qacc_int[i] for i in range(nv)]
+        qp_new = list(qp)
+        for j in range(njnt):
+            jt = m.jnt_type[j]
+            qadr = m.jnt_qposadr[j]
+            dadr = m.jnt_dofadr[j]
+            if jt == FREE:
+                for i in range(3):
+                    qp_new[qadr + i] = qp_new[qadr + i] + h * qv_new[dadr + i]
+                omega = [qv_new[dadr + 3], qv_new[dadr + 4], qv_new[dadr + 5]]
+                angle = vnorm(omega) * h
+                axis = vscale(omega, 1.0 / vnorm(omega))
+                s, c = jnp.sin(angle * 0.5), jnp.cos(angle * 0.5)
+                dq = [c, axis[0] * s, axis[1] * s, axis[2] * s]
+                qcur = [qp_new[qadr + 3 + i] for i in range(4)]
+                qn = quat_normalize(quat_mul(qcur, dq))
+                for i in range(4):
+                    qp_new[qadr + 3 + i] = qn[i]
+            else:
+                qp_new[qadr] = qp_new[qadr] + h * qv_new[dadr]
+
+        # ---- maximal-coordinate views (kinematics.py:212-225) ----
+        # computed at the PRE-step kinematics (matching forward() inside step:
+        # forward is called on the pre-integration state)
+        xd_vel = []
+        xd_ang = []
+        for b in range(1, nbody):
+            root_com = subtree_com[m.body_rootid[b]]
+            off = vsub(xpos[b], root_com)
+            ang = cvel[b][:3]
+            vel = vadd(cvel[b][3:], vcross(ang, off))
+            xd_vel.append(vel)
+            xd_ang.append(ang)
+
+        # ---- write outputs ----
+        for i in range(nq):
+            qpos_out[i] = qp_new[i]
+        for i in range(nv):
+            qvel_out[i] = qv_new[i]
+            qacc_out[i] = qacc_int[i]
+        for s in range(nsite):
+            for i in range(3):
+                site_xpos_out[s * 3 + i] = site_x[s][i]
+            for i in range(3):
+                for j in range(3):
+                    site_xmat_out[s * 9 + i * 3 + j] = site_R[s][i][j]
+        for b in range(1, nbody):
+            for i in range(3):
+                xpos_out[(b - 1) * 3 + i] = xpos[b][i]
+            for i in range(4):
+                xrot_out[(b - 1) * 4 + i] = xquat[b][i]
+            for i in range(3):
+                xdvel_out[(b - 1) * 3 + i] = xd_vel[b - 1][i]
+                xdang_out[(b - 1) * 3 + i] = xd_ang[b - 1][i]
+        if ncon:
+            for s in range(ncon):
+                cdist_out[s] = con_dist[s]
+                for i in range(3):
+                    cpos_out[s * 3 + i] = con_pos[s][i]
+        else:
+            cdist_out[0] = zero
+            for i in range(3):
+                cpos_out[i] = zero
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# dispatch: custom_vmap core + lean Data assembly
+# ---------------------------------------------------------------------------
+
+
+def engine_enabled() -> bool:
+    mode = os.environ.get("DIAL_MPC_ENGINE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_CORE_CACHE: dict = {}
+
+
+def _out_specs(m: Model):
+    nbody1 = m.nbody - 1
+    return [
+        ("qpos", m.nq),
+        ("qvel", m.nv),
+        ("site_xpos", m.nsite * 3),
+        ("site_xmat", m.nsite * 9),
+        ("x_pos", nbody1 * 3),
+        ("x_rot", nbody1 * 4),
+        ("xd_vel", nbody1 * 3),
+        ("xd_ang", nbody1 * 3),
+        ("cdist", max(m.ncon, 1)),
+        ("cpos", max(m.ncon, 1) * 3),
+        ("qacc", m.nv),
+    ]
+
+
+def step_core_for(m: Model, block: int = BLOCK):
+    """custom_vmap step core: (qpos, qvel, ctrl) -> tuple of outputs.
+
+    Scalar calls run the XLA reference step; vmapped calls dispatch to the
+    lane-major mega-kernel.
+    """
+    key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
+           m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
+           block)
+    if key in _CORE_CACHE:
+        return _CORE_CACHE[key]
+
+    specs = _out_specs(m)
+
+    def _xla_ref(qpos, qvel, ctrl):
+        from dial_mpc_tpu.physics import model as mlib
+        from dial_mpc_tpu.physics.forward import step as xla_step
+        from dial_mpc_tpu.physics.kinematics import replace as drep
+
+        d = mlib.make_data(m, dtype=qpos.dtype)
+        d = drep(d, qpos=qpos, qvel=qvel, ctrl=ctrl)
+        d = xla_step(m, d)
+        nbody1 = m.nbody - 1
+        cdist = d.contact.dist if m.ncon else jnp.zeros(1, qpos.dtype)
+        cpos = d.contact.pos if m.ncon else jnp.zeros((1, 3), qpos.dtype)
+        return (
+            d.qpos,
+            d.qvel,
+            d.site_xpos.reshape(-1),
+            d.site_xmat.reshape(-1),
+            d.x_pos.reshape(-1),
+            d.x_rot.reshape(-1),
+            d.xd_vel.reshape(-1),
+            d.xd_ang.reshape(-1),
+            cdist,
+            cpos.reshape(-1),
+            d.qacc,
+        )
+
+    kernel = _build_step_kernel(m, block)
+
+    def _pallas_batched(qpos, qvel, ctrl):
+        B = qpos.shape[0]
+        Bp = ((B + block - 1) // block) * block
+        pad = Bp - B
+
+        def prep(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+                )
+            return jnp.moveaxis(x, 0, -1)
+
+        qp, qv, ct = prep(qpos), prep(qvel), prep(ctrl)
+        grid = (Bp // block,)
+        bspec = lambda n: pl.BlockSpec((n, block), lambda i: (0, i))
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bspec(m.nq), bspec(m.nv), bspec(m.nu)],
+            out_specs=[bspec(n) for _, n in specs],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, Bp), qpos.dtype) for _, n in specs
+            ],
+            interpret=_use_interpret(),
+        )(qp, qv, ct)
+        return tuple(jnp.moveaxis(o, -1, 0)[:B] for o in outs)
+
+    @jax.custom_batching.custom_vmap
+    def core(qpos, qvel, ctrl):
+        return _xla_ref(qpos, qvel, ctrl)
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, qpos, qvel, ctrl):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, b in zip((qpos, qvel, ctrl), in_batched)
+        ]
+        out = _pallas_batched(*args)
+        return out, tuple(True for _ in out)
+
+    _CORE_CACHE[key] = core
+    return core
+
+
+def lean_data(m: Model, d_prev, outs, ctrl, n_frames_time):
+    """Assemble the lean Data carried through rollouts from core outputs."""
+    import dataclasses
+
+    from dial_mpc_tpu.physics.model import Contact, Data
+
+    (qpos, qvel, site_xpos, site_xmat, x_pos, x_rot, xd_vel, xd_ang,
+     cdist, cpos, qacc) = outs
+    nbody1 = m.nbody - 1
+    contact = Contact(
+        dist=cdist[: m.ncon],
+        pos=cpos.reshape(-1, 3)[: m.ncon],
+        frame=None,
+        geom=m.con_geom,
+        includemargin=m.con_includemargin,
+        friction=m.con_friction,
+        solref=m.con_solref,
+        solimp=m.con_solimp,
+        dim=m.con_dim,
+    )
+    return Data(
+        qpos=qpos,
+        qvel=qvel,
+        ctrl=ctrl,
+        time=d_prev.time + n_frames_time,
+        site_xpos=site_xpos.reshape(m.nsite, 3),
+        site_xmat=site_xmat.reshape(m.nsite, 3, 3),
+        x_pos=x_pos.reshape(nbody1, 3),
+        x_rot=x_rot.reshape(nbody1, 4),
+        xd_vel=xd_vel.reshape(nbody1, 3),
+        xd_ang=xd_ang.reshape(nbody1, 3),
+        qacc=qacc,
+        contact=contact,
+    )
+
+
+def trim_data(m: Model, d):
+    """Full Data -> the same lean structure lean_data produces."""
+    import dataclasses
+
+    from dial_mpc_tpu.physics.model import Contact, Data
+
+    contact = Contact(
+        dist=d.contact.dist,
+        pos=d.contact.pos,
+        frame=None,
+        geom=m.con_geom,
+        includemargin=m.con_includemargin,
+        friction=m.con_friction,
+        solref=m.con_solref,
+        solimp=m.con_solimp,
+        dim=m.con_dim,
+    ) if d.contact is not None else None
+    return Data(
+        qpos=d.qpos,
+        qvel=d.qvel,
+        ctrl=d.ctrl,
+        time=d.time,
+        site_xpos=d.site_xpos,
+        site_xmat=d.site_xmat,
+        x_pos=d.x_pos,
+        x_rot=d.x_rot,
+        xd_vel=d.xd_vel,
+        xd_ang=d.xd_ang,
+        qacc=d.qacc,
+        contact=contact,
+    )

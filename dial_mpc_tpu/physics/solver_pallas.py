@@ -70,17 +70,16 @@ def _chol_solve_lanes(H, g, n):
     return x
 
 
-def _make_kernel(nv, nefc, iterations, ls_iterations, tolerance, groups, impratio):
-    """Kernel fn over one sample block. groups: ((row0, dim), ...) elliptic."""
+def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
+                 iterations, ls_iterations, tolerance, groups, impratio):
+    """In-kernel batched Newton solve on lane-major values.
 
-    def terms(J, D, aref, fl, eta, jar):
-        """forces, cost, quad weights, middle-zone rank-1 terms.
+    J (nefc, nv, B), Jc (nv, nefc, B), vectors (n, B). Returns
+    (x (nv, B), qfrc (nv, B)). Shared by the standalone solver kernel and
+    the full-step engine kernel.
+    """
 
-        All arrays (nefc, B) with lanes on B; returns per-row values plus a
-        list of (k_mid, g_rows) for the elliptic groups. Elliptic group
-        rows are overwritten below via static slices, so no mask constant
-        is needed.
-        """
+    def terms(jar):
         is_fr = fl > 0
         f_quad = -D * jar
         f_uni = jnp.where(jar < 0, f_quad, 0.0)
@@ -136,102 +135,95 @@ def _make_kernel(nv, nefc, iterations, ls_iterations, tolerance, groups, imprati
             mids.append((k * middle, g, row0, dim))
         return force, cost, quad_w, mids
 
-    def kernel(J_ref, Jc_ref, D_ref, aref_ref, fl_ref, eta_ref, M_ref, qs_ref,
-               x_ref, f_ref):
-        J = J_ref[...]  # (nefc, nv, B)
-        Jc = Jc_ref[...]  # (nv, nefc, B) — contiguous per-column access
-        D = D_ref[...]
-        aref = aref_ref[...]
-        fl = fl_ref[...]
-        eta = eta_ref[...]
-        M = M_ref[...]  # (nv, nv, B)
-        qs = qs_ref[...]  # (nv, B)
+    def matvec_M(v):  # (nv, B) -> (nv, B)
+        return jnp.stack([jnp.sum(M[i] * v, axis=0) for i in range(nv)], axis=0)
 
-        # small static dims are unrolled python loops; every op below is a
-        # full-lane (rows, B) VPU op — no dot_general lowering needed
-        def matvec_M(v):  # (nv, B) -> (nv, B)
-            return jnp.stack(
-                [jnp.sum(M[i] * v, axis=0) for i in range(nv)], axis=0
-            )
+    def J_apply(v):  # (nv, B) -> (nefc, B)
+        acc = J[:, 0, :] * v[0][None]
+        for j in range(1, nv):
+            acc = acc + J[:, j, :] * v[j][None]
+        return acc
 
-        def J_apply(v):  # (nv, B) -> (nefc, B)
-            acc = J[:, 0, :] * v[0][None]
-            for j in range(1, nv):
-                acc = acc + J[:, j, :] * v[j][None]
-            return acc
+    def JT_apply(w):  # (nefc, B) -> (nv, B)
+        return jnp.stack([jnp.sum(Jc[i] * w, axis=0) for i in range(nv)], axis=0)
 
-        def JT_apply(w):  # (nefc, B) -> (nv, B)
-            # reduce over the leading (contiguous) dim of Jc[i] — Mosaic
-            # requires zero offsets on reduced dims
-            return jnp.stack(
-                [jnp.sum(Jc[i] * w, axis=0) for i in range(nv)], axis=0
-            )
+    def total_cost(x, jar):
+        dx = x - qs
+        gauss = 0.5 * jnp.sum(dx * matvec_M(dx), axis=0)
+        _, cost, _, _ = terms(jar)
+        return gauss + cost
 
-        def total_cost(x, jar):
-            dx = x - qs
-            gauss = 0.5 * jnp.sum(dx * matvec_M(dx), axis=0)
-            _, cost, _, _ = terms(J, D, aref, fl, eta, jar)
-            return gauss + cost
-
-        x = qs
-        done = jnp.zeros(x.shape[-1], bool)
-        for _ in range(iterations):
-            jar = J_apply(x) - aref
-            force, _, quad_w, mids = terms(J, D, aref, fl, eta, jar)
-            grad = matvec_M(x - qs) - JT_apply(force)
-            # H = M + J^T diag(quad_w) J (+ rank-1 middle-zone terms)
-            Hrows = [
-                [
-                    M[i, j] + jnp.sum((quad_w * Jc[i]) * Jc[j], axis=0)
-                    for j in range(nv)
-                ]
+    x = qs
+    done = jnp.zeros(x.shape[-1], bool)
+    for _ in range(iterations):
+        jar = J_apply(x) - aref
+        force, _, quad_w, mids = terms(jar)
+        grad = matvec_M(x - qs) - JT_apply(force)
+        Hrows = [
+            [
+                M[i, j] + jnp.sum((quad_w * Jc[i]) * Jc[j], axis=0)
+                for j in range(nv)
+            ]
+            for i in range(nv)
+        ]
+        for (k_mid, g, row0, dim) in mids:
+            v = [
+                sum(Jc[i][row0 + kk] * g[kk] for kk in range(dim))
                 for i in range(nv)
             ]
-            for (k_mid, g, row0, dim) in mids:
-                v = [
-                    sum(Jc[i][row0 + kk] * g[kk] for kk in range(dim))
-                    for i in range(nv)
-                ]
-                for i in range(nv):
-                    for j in range(nv):
-                        Hrows[i][j] = Hrows[i][j] + k_mid * v[i] * v[j]
-            p = _chol_solve_lanes(Hrows, [-grad[i] for i in range(nv)], nv)
-            p = jnp.stack(p, axis=0)  # (nv, B)
-            jv = J_apply(p)
+            for i in range(nv):
+                for j in range(nv):
+                    Hrows[i][j] = Hrows[i][j] + k_mid * v[i] * v[j]
+        p = _chol_solve_lanes(Hrows, [-grad[i] for i in range(nv)], nv)
+        p = jnp.stack(p, axis=0)  # (nv, B)
+        jv = J_apply(p)
 
-            pMp = jnp.sum(p * matvec_M(p), axis=0)
-            pMx = jnp.sum(p * matvec_M(x - qs), axis=0)
+        pMp = jnp.sum(p * matvec_M(p), axis=0)
+        pMx = jnp.sum(p * matvec_M(x - qs), axis=0)
 
-            def dphi_ddphi(alpha):
-                jar_a = jar + alpha * jv
-                force_a, _, quad_a, mids_a = terms(J, D, aref, fl, eta, jar_a)
-                dphi = pMx + alpha * pMp - jnp.sum(jv * force_a, axis=0)
-                ddphi = pMp + jnp.sum(quad_a * jv * jv, axis=0)
-                for (k_mid, g, row0, dim) in mids_a:
-                    gjv = sum(g[kk] * jv[row0 + kk] for kk in range(dim))
-                    ddphi = ddphi + k_mid * gjv * gjv
-                return dphi, ddphi
+        def dphi_ddphi(alpha):
+            jar_a = jar + alpha * jv
+            force_a, _, quad_a, mids_a = terms(jar_a)
+            dphi = pMx + alpha * pMp - jnp.sum(jv * force_a, axis=0)
+            ddphi = pMp + jnp.sum(quad_a * jv * jv, axis=0)
+            for (k_mid, g, row0, dim) in mids_a:
+                gjv = sum(g[kk] * jv[row0 + kk] for kk in range(dim))
+                ddphi = ddphi + k_mid * gjv * gjv
+            return dphi, ddphi
 
-            dp, ddp = dphi_ddphi(jnp.zeros_like(pMp))
-            alpha = -dp / jnp.maximum(ddp, 1e-30)
-            for _ in range(max(ls_iterations - 1, 0)):
-                dp, ddp = dphi_ddphi(alpha)
-                alpha = alpha - dp / jnp.maximum(ddp, 1e-30)
+        dp, ddp = dphi_ddphi(jnp.zeros_like(pMp))
+        alpha = -dp / jnp.maximum(ddp, 1e-30)
+        for _ in range(max(ls_iterations - 1, 0)):
+            dp, ddp = dphi_ddphi(alpha)
+            alpha = alpha - dp / jnp.maximum(ddp, 1e-30)
 
-            x_new = x + alpha[None] * p
-            prev_cost = total_cost(x, jar)
-            new_cost = total_cost(x_new, J_apply(x_new) - aref)
-            improved = (prev_cost - new_cost) > tolerance * jnp.maximum(
-                prev_cost, 1.0
-            )
-            take = jnp.logical_and(jnp.logical_not(done), new_cost < prev_cost)
-            x = jnp.where(take[None], x_new, x)
-            done = jnp.logical_or(done, jnp.logical_not(improved))
+        x_new = x + alpha[None] * p
+        prev_cost = total_cost(x, jar)
+        new_cost = total_cost(x_new, J_apply(x_new) - aref)
+        improved = (prev_cost - new_cost) > tolerance * jnp.maximum(prev_cost, 1.0)
+        take = jnp.logical_and(jnp.logical_not(done), new_cost < prev_cost)
+        x = jnp.where(take[None], x_new, x)
+        done = jnp.logical_or(done, jnp.logical_not(improved))
 
-        jar = J_apply(x) - aref
-        force, _, _, _ = terms(J, D, aref, fl, eta, jar)
+    jar = J_apply(x) - aref
+    force, _, _, _ = terms(jar)
+    return x, JT_apply(force)
+
+
+def _make_kernel(nv, nefc, iterations, ls_iterations, tolerance, groups, impratio):
+    """Thin ref-level wrapper around newton_solve for the standalone kernel."""
+
+    def kernel(J_ref, Jc_ref, D_ref, aref_ref, fl_ref, eta_ref, M_ref, qs_ref,
+               x_ref, f_ref):
+        x, f = newton_solve(
+            J_ref[...], Jc_ref[...], D_ref[...], aref_ref[...], fl_ref[...],
+            eta_ref[...], M_ref[...], qs_ref[...],
+            nv=nv, nefc=nefc, iterations=iterations,
+            ls_iterations=ls_iterations, tolerance=tolerance,
+            groups=groups, impratio=impratio,
+        )
         x_ref[...] = x
-        f_ref[...] = JT_apply(force)
+        f_ref[...] = f
 
     return kernel
 

@@ -13,6 +13,11 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU tests exercise the XLA reference paths; the Pallas kernels are only
+# checked by the dedicated (small-batch, interpret-mode) tests in
+# test_pallas.py, which opt in explicitly.
+os.environ.setdefault("DIAL_MPC_PALLAS", "0")
+os.environ.setdefault("DIAL_MPC_ENGINE", "xla")
 
 import jax
 
