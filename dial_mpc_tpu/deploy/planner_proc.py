@@ -43,10 +43,17 @@ from dial_mpc_tpu.utils.spline import FixedSpline
 
 
 class MBDPublisher:
-    def __init__(self, env, env_config: BaseEnvConfig, dial_config: DialConfig):
+    def __init__(
+        self,
+        env,
+        env_config: BaseEnvConfig,
+        dial_config: DialConfig,
+        checkpoint_path: str | None = None,
+    ):
         self.dial_config = dial_config
         self.env = env
         self.env_config = env_config
+        self.checkpoint_path = checkpoint_path
 
         self.mbdpi = MBDPI(dial_config, env)
         self.rng = jax.random.PRNGKey(seed=dial_config.seed)
@@ -74,6 +81,27 @@ class MBDPublisher:
         self._plan_init = jax.jit(
             functools.partial(self._plan, n_diffuse=dial_config.Ndiffuse_init)
         )
+
+        # checkpoint/resume: the planner's only persistent state is (Y, rng).
+        # The reference has no recovery story beyond a cold Ndiffuse_init
+        # warm-up (SURVEY §5.4); restoring the plan avoids the transient.
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            try:
+                z = np.load(checkpoint_path)
+                if z["Y"].shape == tuple(self.Y.shape):
+                    self.Y = jnp.asarray(z["Y"])
+                    self.rng = jnp.asarray(z["rng"])
+                    print(f"resumed planner state from {checkpoint_path}")
+            except Exception as e:
+                print(f"[WARN] checkpoint restore failed: {e}")
+
+    def save_checkpoint(self):
+        if self.checkpoint_path:
+            np.savez(
+                self.checkpoint_path,
+                Y=np.asarray(self.Y),
+                rng=np.asarray(self.rng),
+            )
 
     # -- single-program per-tick solve --------------------------------------
 
@@ -162,6 +190,8 @@ class MBDPublisher:
             self.bus.plan_time[0] = plan_time
             last_plan_time = plan_time
             iters += 1
+            if self.checkpoint_path and iters % 250 == 0:
+                self.save_checkpoint()
             if time.time() - t0 > self.ctrl_dt and verbose:
                 print(f"[WARN] real overtime {(time.time() - t0) * 1000:.1f} ms")
 
@@ -176,6 +206,12 @@ def main(args=None):
     group.add_argument("--example", type=str, default=None)
     group.add_argument("--list-examples", action="store_true")
     parser.add_argument("--custom-env", type=str, default=None)
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="path for periodic (Y, rng) planner-state checkpoints; resumes if present",
+    )
     args = parser.parse_args(args)
 
     if args.custom_env is not None:
@@ -203,12 +239,13 @@ def main(args=None):
     )
     env = dial_envs.get_environment(dial_config.env_name, env_config)
 
-    publisher = MBDPublisher(env, env_config, dial_config)
+    publisher = MBDPublisher(env, env_config, dial_config, checkpoint_path=args.checkpoint)
     try:
         publisher.main_loop()
     except KeyboardInterrupt:
         pass
     finally:
+        publisher.save_checkpoint()
         publisher.close()
 
 

@@ -80,6 +80,10 @@ class DialSim:
         mujoco.mj_resetDataKeyframe(self.mj_model, self.mj_data, 0)
         mujoco.mj_forward(self.mj_model, self.mj_data)
 
+        self.q_history = np.zeros((self.n_acts, self.mj_model.nu))
+        self.qref_history = np.zeros((self.n_acts, self.mj_model.nu))
+        self._plot = None
+
         nx = self.mj_model.nq + self.mj_model.nv
         self.bus = ShmBus(nx, self.mj_model.nu, self.n_acts, create=True)
         self.bus.time[0] = 0.0
@@ -159,10 +163,51 @@ class DialSim:
         self.bus.state[self.mj_model.nq :] = self.mj_data.qvel
         self.bus.time[0] = self.t
 
+    def _init_plot(self):
+        # live joint-tracking plots (reference: dial_sim.py:126-154)
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            print("[WARN] matplotlib unavailable; plotting disabled")
+            return
+        n = min(4, self.mj_model.nu)
+        fig, axs = plt.subplots(n, 1, figsize=(10, 2 * n))
+        axs = np.atleast_1d(axs)
+        colors = plt.cm.rainbow(np.linspace(0, 1, n))
+        handles, handles_ref = [], []
+        q0 = self.mj_model.keyframe("home").qpos
+        for i in range(n):
+            handles.append(axs[i].plot(self.q_history[:, i], color=colors[i])[0])
+            handles_ref.append(
+                axs[i].plot(self.qref_history[:, i], color=colors[i], linestyle="--")[0]
+            )
+            axs[i].set_ylim(-1.0 + q0[i + 7], 1.0 + q0[i + 7])
+            axs[i].set_ylabel(f"joint {i + 1}")
+        plt.show(block=False)
+        self._plot = (plt, handles, handles_ref, n)
+
+    def _update_plot(self):
+        if self._plot is None:
+            return
+        plt, handles, handles_ref, n = self._plot
+        for j in range(n):
+            handles[j].set_ydata(self.bus.acts[:, j])
+            handles_ref[j].set_ydata(self.qref_history[:, j])
+        plt.pause(0.001)
+
+    def _record_history(self):
+        self.q_history = np.roll(self.q_history, -1, axis=0)
+        self.q_history[-1, :] = self.mj_data.qpos[7 : 7 + self.mj_model.nu]
+        self.qref_history = np.roll(self.qref_history, -1, axis=0)
+        self.qref_history[-1, :] = self.mj_data.ctrl
+
     def main_loop(self):
+        if self.cfg.plot:
+            self._init_plot()
         steps = 0
         while self.max_steps is None or steps < self.max_steps:
             self._update_ref_overlay()
+            self._update_plot()
             if self.cfg.sync_mode:
                 # lock-step: advance only through the window the planner has
                 # already planned from (reference: dial_sim.py:199-228)
@@ -172,6 +217,7 @@ class DialSim:
                     steps += 1
                     if self.max_steps is not None and steps >= self.max_steps:
                         return
+                self._record_history()
                 if self.viewer is not None:
                     self.viewer.sync()
                 time.sleep(self.sim_dt * 0.1)
@@ -188,6 +234,7 @@ class DialSim:
                     delta_step = self.n_acts - 1
                 self._apply_ctrl(delta_step)
                 self._step_and_publish()
+                self._record_history()
                 steps += 1
                 if self.viewer is not None:
                     self.viewer.sync()
