@@ -42,7 +42,7 @@ from dial_mpc_tpu.physics.model import (
     Model,
 )
 
-BLOCK = 128
+BLOCK = 512
 FREE, BALL, SLIDE, HINGE = 0, 1, 2, 3
 _DEBUG_SINK = None
 
@@ -1004,6 +1004,47 @@ def _build_step_kernel(m: Model, block: int):
 # ---------------------------------------------------------------------------
 
 
+def _static_nefc(m: Model) -> int:
+    """Total efc row count from the static layout (mirrors constraint.py)."""
+    rows = sum(1 for i in range(m.nv) if m.dof_frictionloss_static[i] > 0)
+    from dial_mpc_tpu.physics.model import DSBL_LIMIT
+
+    if not (m.opt.disableflags & DSBL_LIMIT):
+        rows += sum(
+            1
+            for j in range(m.njnt)
+            if m.jnt_limited[j] and m.jnt_type[j] in (SLIDE, HINGE)
+        )
+    for (g1, g2, t1, t2, condim, conadr, conmax) in m.pair_table:
+        if condim == 1:
+            rows += conmax
+        elif m.opt.cone == 1:
+            rows += conmax * condim
+        else:
+            nfacets = 2 * (condim - 1)
+            rows += conmax * nfacets
+    return rows
+
+
+def _auto_block(m: Model) -> int:
+    """Largest block whose live VMEM footprint fits comfortably."""
+    nefc = _static_nefc(m)
+    lanes_bytes = 4 * (
+        2 * nefc * m.nv  # J + Jc
+        + 10 * nefc  # D/aref/fl/eta/jar/force/...
+        + m.nv * m.nv  # M
+        + 36 * m.nbody  # composite inertias
+        + 40 * m.nv  # cdof/cdof_dot/vectors
+        + 20 * m.nbody  # frames/velocities
+        + 12 * max(m.ncon, 1)
+    )
+    budget = 8 * 1024 * 1024
+    block = 512
+    while block > 128 and lanes_bytes * block > budget:
+        block //= 2
+    return block
+
+
 def engine_enabled() -> bool:
     mode = os.environ.get("DIAL_MPC_ENGINE", "auto")
     if mode == "pallas":
@@ -1037,12 +1078,14 @@ def _out_specs(m: Model):
     ]
 
 
-def step_core_for(m: Model, block: int = BLOCK):
+def step_core_for(m: Model, block: int | None = None):
     """custom_vmap step core: (qpos, qvel, ctrl) -> tuple of outputs.
 
     Scalar calls run the XLA reference step; vmapped calls dispatch to the
     lane-major mega-kernel.
     """
+    if block is None:
+        block = _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
            block)

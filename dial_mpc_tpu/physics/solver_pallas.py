@@ -296,8 +296,6 @@ def solve_batched(m, J, D, aref, fl, eta, M, qs):
         m.opt.ls_iterations,
         float(m.opt.tolerance),
         tuple(elliptic_groups(m)),
-        float(np.asarray(jax.device_get(m.opt.impratio)))
-        if not isinstance(m.opt.impratio, (float, int))
-        else float(m.opt.impratio),
+        float(np.asarray(jax.device_get(m.opt.impratio))),
     )
     return fn(J, D, aref, fl, eta, M, qs)

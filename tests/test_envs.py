@@ -5,23 +5,36 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import yaml
+
 import dial_mpc_tpu.envs as dial_envs
+from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
 
-ALL_ENVS = [
-    "unitree_go2_walk",
-    "unitree_go2_seq_jump",
-    "unitree_go2_crate_climb",
-    "unitree_h1_walk",
-    "unitree_h1_push_crate",
-    "unitree_h1_loco",
-    "allegro_reorient",
-]
+# env name -> shipped example config (the reference configures envs through
+# these YAMLs; some envs, e.g. seq_jump, have no usable defaults)
+ENV_EXAMPLES = {
+    "unitree_go2_walk": "unitree_go2_trot",
+    "unitree_go2_seq_jump": "unitree_go2_seq_jump",
+    "unitree_go2_crate_climb": "unitree_go2_crate_climb",
+    "unitree_h1_walk": "unitree_h1_jog",
+    "unitree_h1_push_crate": "unitree_h1_push_crate",
+    "unitree_h1_loco": "unitree_h1_loco",
+    "allegro_reorient": "allegro_reorient",
+}
 
 
-@pytest.mark.parametrize("name", ALL_ENVS)
+def make_env(name):
+    with open(get_example_path(ENV_EXAMPLES[name] + ".yaml")) as f:
+        config_dict = yaml.safe_load(f)
+    cfg = load_dataclass_from_dict(
+        dial_envs.get_config(name), config_dict, convert_list_to_array=True
+    )
+    return dial_envs.get_environment(name, cfg)
+
+
+@pytest.mark.parametrize("name", sorted(ENV_EXAMPLES))
 def test_env_reset_step(name):
-    cfg_cls = dial_envs.get_config(name)
-    env = dial_envs.get_environment(name, cfg_cls())
+    env = make_env(name)
     state = jax.jit(env.reset)(jax.random.PRNGKey(0))
     assert bool(jnp.all(jnp.isfinite(state.obs)))
 
