@@ -83,19 +83,24 @@ def run(config_dict, progress=True, serve=False):
         jax.block_until_ready(Y0)
         elapsed = time.time() - t0
 
-        rollout_states.append(
-            jax.device_get(
-                (
-                    state.pipeline_state.qpos,
-                    state.pipeline_state.qvel,
-                    state.pipeline_state.ctrl,
-                )
+        # one batched host transfer per step (the tunnel to remote TPUs makes
+        # each device_get round-trip expensive)
+        host = jax.device_get(
+            (
+                state.pipeline_state.qpos,
+                state.pipeline_state.qvel,
+                state.pipeline_state.ctrl,
+                u_exec,
+                state.reward,
+                info["rews"][-1].mean(),
+                info["xbar"][-1],
             )
         )
-        ctrls.append(np.asarray(u_exec))
-        rews.append(float(state.reward))
-        rews_plan.append(float(info["rews"][-1].mean()))
-        predictions.append(np.asarray(info["xbar"][-1]))
+        rollout_states.append(host[:3])
+        ctrls.append(host[3])
+        rews.append(float(host[4]))
+        rews_plan.append(float(host[5]))
+        predictions.append(host[6])
         freqs.append(1.0 / max(elapsed, 1e-9))
         if t > 0:  # exclude the compile step from latency stats
             latency.add(elapsed)

@@ -1038,8 +1038,10 @@ def _auto_block(m: Model) -> int:
         + 20 * m.nbody  # frames/velocities
         + 12 * max(m.ncon, 1)
     )
+    # 256 measured fastest on the planner's B = Nsample+1 batches (512 wins
+    # on exact power-of-two batches but loses 25% to padding at 2049)
     budget = 8 * 1024 * 1024
-    block = 512
+    block = 256
     while block > 128 and lanes_bytes * block > budget:
         block //= 2
     return block
@@ -1085,7 +1087,8 @@ def step_core_for(m: Model, block: int | None = None):
     lane-major mega-kernel.
     """
     if block is None:
-        block = _auto_block(m)
+        override = os.environ.get("DIAL_MPC_BLOCK")
+        block = int(override) if override else _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
            block)
