@@ -24,9 +24,19 @@ import numpy as np
 
 
 class ShmBus:
-    """Owns (create=True) or attaches (create=False) the six segments."""
+    """Owns (create=True) or attaches (create=False) the six segments.
 
-    def __init__(self, nx: int, nu: int, n_acts: int, create: bool):
+    Attaching retries until the producer has created the segments
+    (attach_timeout seconds), and unregisters attached segments from
+    Python's multiprocessing resource tracker — otherwise a consumer
+    process exiting would unlink the producer's live segments.
+    """
+
+    def __init__(
+        self, nx: int, nu: int, n_acts: int, create: bool, attach_timeout: float = 30.0
+    ):
+        import time as _time
+
         self._create = create
         self._segs = []
 
@@ -42,7 +52,23 @@ class ShmBus:
                     stale.unlink()
                     s = shared_memory.SharedMemory(name=name, create=True, size=size)
             else:
-                s = shared_memory.SharedMemory(name=name, create=False, size=size)
+                deadline = _time.time() + attach_timeout
+                while True:
+                    try:
+                        s = shared_memory.SharedMemory(
+                            name=name, create=False, size=size
+                        )
+                        break
+                    except FileNotFoundError:
+                        if _time.time() > deadline:
+                            raise
+                        _time.sleep(0.2)
+                try:  # consumers must never unlink the producer's segments
+                    from multiprocessing import resource_tracker
+
+                    resource_tracker.unregister(s._name, "shared_memory")
+                except Exception:
+                    pass
             self._segs.append(s)
             return np.ndarray(shape, dtype=np.float32, buffer=s.buf)
 

@@ -94,7 +94,11 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
             jnp.where(jar < 0, quad, 0.0),
         )
         for (row0, dim) in groups:
-            cost_rows = cost_rows.at[row0 : row0 + dim].set(0.0)
+            # array-valued update => dynamic_update_slice (a scalar set
+            # lowers to scatter, which Mosaic does not implement)
+            cost_rows = cost_rows.at[row0 : row0 + dim].set(
+                jnp.zeros_like(cost_rows[row0 : row0 + dim])
+            )
         cost = jnp.sum(cost_rows, axis=0)  # (B,)
 
         mids = []
