@@ -75,6 +75,7 @@ class MBDPublisher:
         self.bus.plan_time[0] = -self.ctrl_dt
         self.bus.state[: self.nq] = self.default_q
 
+        self._reset_jit = jax.jit(self.env.reset)
         self._plan_warm = jax.jit(
             functools.partial(self._plan, n_diffuse=dial_config.Ndiffuse)
         )
@@ -126,7 +127,7 @@ class MBDPublisher:
     # -- state injection (reference: dial_plan.py:141-155) ------------------
 
     def init_state(self, q, qd):
-        state = self.env.reset(jax.random.PRNGKey(0))
+        state = self._reset_jit(jax.random.PRNGKey(0))
         d = self.env.pipeline_init(
             jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32)
         )
@@ -146,6 +147,9 @@ class MBDPublisher:
     # -- host loop ----------------------------------------------------------
 
     def main_loop(self, max_iters=None, verbose=True):
+        from dial_mpc_tpu.utils.telemetry import LatencyRecorder
+
+        latency = LatencyRecorder()
         last_plan_time = float(self.bus.time[0])
         state = self.init_state(
             self.bus.state[: self.nq].copy(), self.bus.state[self.nq :].copy()
@@ -176,24 +180,32 @@ class MBDPublisher:
             plan_fn = self._plan_init if first_time else self._plan_warm
             if first_time and verbose:
                 print("Compiling DIAL-MPC solve")
-            self.Y, self.rng, joint_targets, taus, x_targets = jax.block_until_ready(
-                plan_fn(state, self.Y, self.rng, jnp.float32(shift_time))
+            self.Y, self.rng, joint_targets, taus, x_targets = plan_fn(
+                state, self.Y, self.rng, jnp.float32(shift_time)
             )
             first_time = False
 
-            self.bus.acts[:] = np.asarray(joint_targets)[: self.n_acts]
-            self.bus.tau[:] = np.asarray(taus)[: self.n_acts]
+            # one batched host transfer for everything the bus needs
+            # (Y/rng stay on device for the next tick)
+            joint_targets, taus, x_targets = jax.device_get(
+                (joint_targets, taus, x_targets)
+            )
+            self.bus.acts[:] = joint_targets[: self.n_acts]
+            self.bus.tau[:] = taus[: self.n_acts]
             nb = min(self.bus.refs.shape[1], x_targets.shape[1] - 1)
-            self.bus.refs[:, :nb, :] = np.asarray(x_targets)[
-                : self.n_acts, 1 : 1 + nb, :3
-            ]
+            self.bus.refs[:, :nb, :] = x_targets[: self.n_acts, 1 : 1 + nb, :3]
             self.bus.plan_time[0] = plan_time
             last_plan_time = plan_time
             iters += 1
             if self.checkpoint_path and iters % 250 == 0:
                 self.save_checkpoint()
+            if not first_time:
+                latency.add(time.time() - t0)
             if time.time() - t0 > self.ctrl_dt and verbose:
                 print(f"[WARN] real overtime {(time.time() - t0) * 1000:.1f} ms")
+        if verbose:
+            print(latency.report("plan latency"))
+        self.last_latency = latency.summary()
 
     def close(self):
         self.bus.close()

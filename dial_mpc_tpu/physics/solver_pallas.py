@@ -79,6 +79,11 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
     the full-step engine kernel.
     """
 
+    def _set_rows(arr, row0, dim, new):
+        # jnp's .at[slice].set lowers to lax.scatter, which Mosaic cannot
+        # compile; concatenation of static slices lowers cleanly
+        return jnp.concatenate([arr[:row0], new, arr[row0 + dim :]], axis=0)
+
     def terms(jar):
         is_fr = fl > 0
         f_quad = -D * jar
@@ -94,10 +99,8 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
             jnp.where(jar < 0, quad, 0.0),
         )
         for (row0, dim) in groups:
-            # array-valued update => dynamic_update_slice (a scalar set
-            # lowers to scatter, which Mosaic does not implement)
-            cost_rows = cost_rows.at[row0 : row0 + dim].set(
-                jnp.zeros_like(cost_rows[row0 : row0 + dim])
+            cost_rows = _set_rows(
+                cost_rows, row0, dim, jnp.zeros_like(cost_rows[row0 : row0 + dim])
             )
         cost = jnp.sum(cost_rows, axis=0)  # (B,)
 
@@ -124,14 +127,16 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
             )
             f_bot = -Dg * jr
             f_g = jnp.where(top, 0.0, jnp.where(bottom, f_bot, f_mid))
-            force = force.at[row0 : row0 + dim].set(f_g)
+            force = _set_rows(force, row0, dim, f_g)
             cb = Dg[0] * jr[0] * jr[0]
             for kk in range(1, dim):
                 cb = cb + Dg[kk] * jr[kk] * jr[kk]
             cost_b = 0.5 * cb
             cost_m = 0.5 * k * (U - N) ** 2
             cost = cost + jnp.where(top, 0.0, jnp.where(bottom, cost_b, cost_m))
-            quad_w = quad_w.at[row0 : row0 + dim].set(jnp.where(bottom, Dg, 0.0))
+            quad_w = _set_rows(
+                quad_w, row0, dim, jnp.where(bottom, Dg, jnp.zeros_like(Dg))
+            )
             middle = jnp.logical_not(top | bottom)
             g = jnp.concatenate(
                 [-jnp.ones_like(N)[None], et[1:] * u / U], axis=0
