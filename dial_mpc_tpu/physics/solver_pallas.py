@@ -81,8 +81,15 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
 
     def _set_rows(arr, row0, dim, new):
         # jnp's .at[slice].set lowers to lax.scatter, which Mosaic cannot
-        # compile; concatenation of static slices lowers cleanly
-        return jnp.concatenate([arr[:row0], new, arr[row0 + dim :]], axis=0)
+        # compile; concatenation of static slices lowers cleanly. Skip
+        # zero-sized edge pieces (invalid vector types in Mosaic).
+        parts = []
+        if row0 > 0:
+            parts.append(arr[:row0])
+        parts.append(new)
+        if row0 + dim < arr.shape[0]:
+            parts.append(arr[row0 + dim :])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     def terms(jar):
         is_fr = fl > 0
