@@ -50,7 +50,7 @@ class AllegroReorientEnv(BaseEnv):
             "rng": rng,
             "ang_vel_tar": jnp.array([0.0, 0.0, 0.5], f32),
             "pos_tar": jnp.array([0.0, 0.0, 0.13], f32),
-            "step": 0,
+            "step": jnp.asarray(0, jnp.int32),  # array, not python int: avoids a retrace after the first step
         }
         obs = jnp.zeros(1, f32)
         reward, done = jnp.zeros(2, f32)

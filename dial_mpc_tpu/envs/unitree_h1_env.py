@@ -147,7 +147,7 @@ class UnitreeH1WalkEnv(BaseEnv):
             "vel_tar": jnp.zeros(3, f32),
             "ang_vel_tar": jnp.zeros(3, f32),
             "yaw_tar": jnp.asarray(0.0, f32),
-            "step": 0,
+            "step": jnp.asarray(0, jnp.int32),  # array, not python int: avoids a retrace after the first step
             "z_feet": jnp.zeros(2, f32),
             "z_feet_tar": jnp.zeros(2, f32),
             "randomize_target": self._config.randomize_tasks,

@@ -92,16 +92,20 @@ class ShardedMBDPI:
         Y0s = jnp.clip(Y0s, -1.0, 1.0)
         Ybar_clip = jnp.clip(Ybar_i, -1.0, 1.0)
 
-        # local rollouts + one replicated rollout of the mean trajectory
-        us = self.inner.node2u(Y0s)
-        u_bar = self.inner.node2u(Ybar_clip)
-        rewss, statess = jax.vmap(
+        # roll the (replicated) mean trajectory as the last row of the local
+        # batch — a separate unbatched rollout would run the scalar physics
+        # path, which serializes thousands of tiny ops
+        Y0s_aug = jnp.concatenate([Y0s, Ybar_clip[None]], axis=0)
+        us = self.inner.node2u(Y0s_aug)
+        rewss, statess_aug = jax.vmap(
             lambda u: self.inner.rollout_us(state, u)
         )(us)
-        rews_bar_t, states_bar = self.inner.rollout_us(state, u_bar)
+        statess = jax.tree.map(lambda x: x[:-1], statess_aug)
+        states_bar = jax.tree.map(lambda x: x[-1], statess_aug)
 
-        rews = rewss.mean(axis=-1)  # (local,)
-        rew_Ybar = rews_bar_t.mean()
+        rews_all = rewss.mean(axis=-1)  # (local+1,)
+        rews = rews_all[:-1]
+        rew_Ybar = rews_all[-1]
 
         # global mean/std over the Nsample + 1 values (mean sample once)
         n_tot = args.Nsample + 1.0

@@ -972,12 +972,16 @@ def _build_step_kernel(m: Model, block: int):
         for i in range(nv):
             qvel_out[i] = qv_new[i]
             qacc_out[i] = qacc_int[i]
-        for s in range(nsite):
-            for i in range(3):
-                site_xpos_out[s * 3 + i] = site_x[s][i]
-            for i in range(3):
-                for j in range(3):
-                    site_xmat_out[s * 9 + i * 3 + j] = site_R[s][i][j]
+        if nsite:
+            for s in range(nsite):
+                for i in range(3):
+                    site_xpos_out[s * 3 + i] = site_x[s][i]
+                for i in range(3):
+                    for j in range(3):
+                        site_xmat_out[s * 9 + i * 3 + j] = site_R[s][i][j]
+        else:
+            site_xpos_out[0] = zero
+            site_xmat_out[0] = zero
         for b in range(1, nbody):
             for i in range(3):
                 xpos_out[(b - 1) * 3 + i] = xpos[b][i]
@@ -1064,12 +1068,14 @@ _CORE_CACHE: dict = {}
 
 
 def _out_specs(m: Model):
+    # every row count clamped >= 1: Mosaic rejects zero-sized operands
+    # (e.g. the Allegro scene has no sites)
     nbody1 = m.nbody - 1
     return [
         ("qpos", m.nq),
         ("qvel", m.nv),
-        ("site_xpos", m.nsite * 3),
-        ("site_xmat", m.nsite * 9),
+        ("site_xpos", max(m.nsite * 3, 1)),
+        ("site_xmat", max(m.nsite * 9, 1)),
         ("x_pos", nbody1 * 3),
         ("x_rot", nbody1 * 4),
         ("xd_vel", nbody1 * 3),
@@ -1108,11 +1114,17 @@ def step_core_for(m: Model, block: int | None = None):
         nbody1 = m.nbody - 1
         cdist = d.contact.dist if m.ncon else jnp.zeros(1, qpos.dtype)
         cpos = d.contact.pos if m.ncon else jnp.zeros((1, 3), qpos.dtype)
+        site_xpos = (
+            d.site_xpos.reshape(-1) if m.nsite else jnp.zeros(1, qpos.dtype)
+        )
+        site_xmat = (
+            d.site_xmat.reshape(-1) if m.nsite else jnp.zeros(1, qpos.dtype)
+        )
         return (
             d.qpos,
             d.qvel,
-            d.site_xpos.reshape(-1),
-            d.site_xmat.reshape(-1),
+            site_xpos,
+            site_xmat,
             d.x_pos.reshape(-1),
             d.x_rot.reshape(-1),
             d.xd_vel.reshape(-1),
@@ -1193,8 +1205,8 @@ def lean_data(m: Model, d_prev, outs, ctrl, n_frames_time):
         qvel=qvel,
         ctrl=ctrl,
         time=d_prev.time + n_frames_time,
-        site_xpos=site_xpos.reshape(m.nsite, 3),
-        site_xmat=site_xmat.reshape(m.nsite, 3, 3),
+        site_xpos=site_xpos[: m.nsite * 3].reshape(m.nsite, 3),
+        site_xmat=site_xmat[: m.nsite * 9].reshape(m.nsite, 3, 3),
         x_pos=x_pos.reshape(nbody1, 3),
         x_rot=x_rot.reshape(nbody1, 4),
         xd_vel=xd_vel.reshape(nbody1, 3),
