@@ -140,6 +140,15 @@ class BaseEnv:
             d, _ = jax.lax.scan(body, d, None, length=self._n_frames)
         return engine_pallas.trim_data(self.sys, d)
 
+    def advance(self, state, ctrl, pipeline_next=None):
+        """Next pipeline state: live physics, or playback of a fused-rollout
+        kernel result (the applied ctrl is recorded either way)."""
+        if pipeline_next is not None:
+            return data_replace(
+                pipeline_next, ctrl=ctrl.astype(pipeline_next.qpos.dtype)
+            )
+        return self.pipeline_step(state.pipeline_state, ctrl)
+
     # -- action mappings (reference: base_env.py:37-66) ---------------------
 
     def act2joint(self, act: jax.Array) -> jax.Array:

@@ -56,7 +56,7 @@ class AllegroReorientEnv(BaseEnv):
         reward, done = jnp.zeros(2, f32)
         return State(pipeline_state, obs, reward, done, {}, state_info)
 
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, pipeline_next=None) -> State:
         rng, cmd_rng = jax.random.split(state.info["rng"], 2)
         f32 = jnp.float32
 
@@ -64,7 +64,7 @@ class AllegroReorientEnv(BaseEnv):
             ctrl = self.act2joint(action)
         else:
             raise NotImplementedError("Allegro supports position control only")
-        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        pipeline_state = self.advance(state, ctrl, pipeline_next)
 
         obj = self._object_body_idx - 1
         ball_ang_vel = pipeline_state.xd_ang[obj] * jnp.pi / 180.0

@@ -127,7 +127,7 @@ class UnitreeGo2Env(BaseEnv):
         reward, done = jnp.zeros(2, f32)
         return State(pipeline_state, obs, reward, done, {}, state_info)
 
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, pipeline_next=None) -> State:
         rng, cmd_rng = jax.random.split(state.info["rng"], 2)
 
         # action -> physics ctrl
@@ -136,7 +136,7 @@ class UnitreeGo2Env(BaseEnv):
             ctrl = joint_targets
         else:
             ctrl = self.act2tau(action, state.pipeline_state)
-        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        pipeline_state = self.advance(state, ctrl, pipeline_next)
         x_pos = pipeline_state.x_pos
         x_rot = pipeline_state.x_rot
 
@@ -427,7 +427,7 @@ class UnitreeGo2SeqJumpEnv(UnitreeGo2Env):
         reward, done = jnp.zeros(2, f32)
         return State(pipeline_state, obs, reward, done, {}, state_info)
 
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, pipeline_next=None) -> State:
         rng, cmd_rng = jax.random.split(state.info["rng"], 2)
         f32 = jnp.float32
 
@@ -437,7 +437,7 @@ class UnitreeGo2SeqJumpEnv(UnitreeGo2Env):
             ctrl = self.act2tau(action, state.pipeline_state)
         else:
             raise ValueError("Invalid leg control type.")
-        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        pipeline_state = self.advance(state, ctrl, pipeline_next)
         x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
         torso = self._torso_idx - 1
 
@@ -672,7 +672,7 @@ class UnitreeGo2CrateEnv(UnitreeGo2Env):
         info["yaw_tar"] = jnp.asarray(0.0, f32)
         return state.replace(info=info)
 
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, pipeline_next=None) -> State:
         rng, cmd_rng = jax.random.split(state.info["rng"], 2)
         f32 = jnp.float32
 
@@ -680,7 +680,7 @@ class UnitreeGo2CrateEnv(UnitreeGo2Env):
             ctrl = self.act2joint(action)
         else:
             ctrl = self.act2tau(action, state.pipeline_state)
-        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        pipeline_state = self.advance(state, ctrl, pipeline_next)
         x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
         torso = self._torso_idx - 1
 

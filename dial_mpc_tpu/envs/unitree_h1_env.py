@@ -172,7 +172,7 @@ class UnitreeH1WalkEnv(BaseEnv):
     def _reward_extra(self, pipeline_state, ctrl):
         return {}
 
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, pipeline_next=None) -> State:
         rng, cmd_rng = jax.random.split(state.info["rng"], 2)
         f32 = jnp.float32
 
@@ -181,7 +181,7 @@ class UnitreeH1WalkEnv(BaseEnv):
             ctrl = joint_targets
         else:
             ctrl = self.act2tau(action, state.pipeline_state)
-        pipeline_state = self.pipeline_step(state.pipeline_state, ctrl)
+        pipeline_state = self.advance(state, ctrl, pipeline_next)
         x_pos, x_rot = pipeline_state.x_pos, pipeline_state.x_rot
         torso = self._torso_idx - 1
 
