@@ -73,6 +73,26 @@ def run(config_dict, progress=True, serve=False):
     except ImportError:  # pragma: no cover
         iterator = range(dial_config.n_steps)
 
+    # pack all per-step telemetry into ONE device array so the host loop
+    # costs a single transfer per step (remote-TPU links are latency-bound)
+    @jax.jit
+    def pack_telemetry(state, u_exec, info):
+        ps = state.pipeline_state
+        return jnp.concatenate(
+            [
+                ps.qpos,
+                ps.qvel,
+                ps.ctrl,
+                u_exec,
+                state.reward[None],
+                info["rews"][-1].mean()[None],
+                info["xbar"][-1].reshape(-1),
+            ]
+        )
+
+    nq, nv, nu = env.mj_model.nq, env.mj_model.nv, env.mj_model.nu
+    xbar_shape = (dial_config.Hsample + 1, env.mj_model.nbody - 1, 3)
+
     for t in iterator:
         n_diffuse = (
             dial_config.Ndiffuse_init if t == 0 else dial_config.Ndiffuse
@@ -83,24 +103,20 @@ def run(config_dict, progress=True, serve=False):
         jax.block_until_ready(Y0)
         elapsed = time.time() - t0
 
-        # one batched host transfer per step (the tunnel to remote TPUs makes
-        # each device_get round-trip expensive)
-        host = jax.device_get(
-            (
-                state.pipeline_state.qpos,
-                state.pipeline_state.qvel,
-                state.pipeline_state.ctrl,
-                u_exec,
-                state.reward,
-                info["rews"][-1].mean(),
-                info["xbar"][-1],
-            )
-        )
-        rollout_states.append(host[:3])
-        ctrls.append(host[3])
-        rews.append(float(host[4]))
-        rews_plan.append(float(host[5]))
-        predictions.append(host[6])
+        host = np.asarray(pack_telemetry(state, u_exec, info))
+        o = 0
+        qpos_h = host[o : o + nq]; o += nq
+        qvel_h = host[o : o + nv]; o += nv
+        ctrl_h = host[o : o + nu]; o += nu
+        u_h = host[o : o + nu]; o += nu
+        reward_h = host[o]; o += 1
+        rew_plan_h = host[o]; o += 1
+        xbar_h = host[o:].reshape(xbar_shape)
+        rollout_states.append((qpos_h, qvel_h, ctrl_h))
+        ctrls.append(u_h)
+        rews.append(float(reward_h))
+        rews_plan.append(float(rew_plan_h))
+        predictions.append(xbar_h)
         freqs.append(1.0 / max(elapsed, 1e-9))
         if t > 0:  # exclude the compile step from latency stats
             latency.add(elapsed)

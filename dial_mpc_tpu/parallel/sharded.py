@@ -24,12 +24,10 @@ inherently layout-dependent.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dial_mpc_tpu.core.dial_core import MBDPI
 

@@ -24,7 +24,6 @@ equality.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
