@@ -108,7 +108,7 @@ class MBDPI:
         from dial_mpc_tpu.physics import engine_pallas as _ep
 
         use_fused = (
-            _ep.engine_enabled()
+            _ep.engine_enabled(env.sys)
             and getattr(env, "_n_frames", None) == 1
             and _os.environ.get("DIAL_MPC_FUSED_ROLLOUT", "0") == "1"
         )

@@ -116,7 +116,7 @@ class BaseEnv:
         from dial_mpc_tpu.physics import engine_pallas
 
         ctrl = ctrl.astype(d.qpos.dtype)
-        if engine_pallas.engine_enabled():
+        if engine_pallas.engine_enabled(self.sys):
             core = engine_pallas.step_core_for(self.sys)
             qpos, qvel = d.qpos, d.qvel
             for _ in range(self._n_frames):

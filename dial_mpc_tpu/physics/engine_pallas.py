@@ -1070,11 +1070,15 @@ def _auto_block(m: Model) -> int:
     return block
 
 
-def engine_enabled() -> bool:
+def engine_enabled(m: Model | None = None) -> bool:
     mode = os.environ.get("DIAL_MPC_ENGINE", "auto")
     if mode == "pallas":
         return True
     if mode == "xla":
+        return False
+    if m is not None and m.opt.cone == 1:
+        # elliptic-cone models (Allegro) showed NaNs over long kernel
+        # rollouts (under investigation); default them to the XLA path
         return False
     return jax.default_backend() == "tpu"
 
