@@ -161,9 +161,20 @@ class MBDPI:
         qdss = pipeline_statess.qvel
         xss = pipeline_statess.x_pos
         rews = rewss.mean(axis=-1)
-        logp0 = (rews - rew_Ybar_i) / rews.std(axis=-1) / self.args.temp_sample
+        # robustness beyond the reference: a rare exploding rollout (e.g.
+        # violent contact states) must not poison the softmax — non-finite
+        # rewards get zero weight (identical arithmetic when all finite)
+        finite = jnp.isfinite(rews)
+        std = jnp.nanstd(jnp.where(finite, rews, jnp.nan))
+        logp0 = jnp.where(
+            finite, (rews - rew_Ybar_i) / std / self.args.temp_sample, -jnp.inf
+        )
 
         weights = jax.nn.softmax(logp0)
+        # zero-weight samples must contribute exactly zero (0 * nan = nan)
+        qss = jnp.where(finite[:, None, None], qss, 0.0)
+        qdss = jnp.where(finite[:, None, None], qdss, 0.0)
+        xss = jnp.where(finite[:, None, None, None], xss, 0.0)
         Ybar = jnp.einsum("n,nij->ij", weights, Y0s)
         qbar = jnp.einsum("n,nij->ij", weights, qss)
         qdbar = jnp.einsum("n,nij->ij", weights, qdss)

@@ -105,15 +105,20 @@ class ShardedMBDPI:
         rews = rews_all[:-1]
         rew_Ybar = rews_all[-1]
 
-        # global mean/std over the Nsample + 1 values (mean sample once)
-        n_tot = args.Nsample + 1.0
-        s1 = jax.lax.psum(rews.sum(), AXIS) + rew_Ybar
-        s2 = jax.lax.psum((rews**2).sum(), AXIS) + rew_Ybar**2
+        # global mean/std over the finite samples (+ mean sample once);
+        # non-finite rollouts are excluded and get zero softmax weight
+        finite = jnp.isfinite(rews)
+        rews_f = jnp.where(finite, rews, 0.0)
+        n_tot = jax.lax.psum(finite.sum().astype(rews.dtype), AXIS) + 1.0
+        s1 = jax.lax.psum(rews_f.sum(), AXIS) + rew_Ybar
+        s2 = jax.lax.psum((rews_f**2).sum(), AXIS) + rew_Ybar**2
         mean = s1 / n_tot
         var = jnp.maximum(s2 / n_tot - mean**2, 0.0)
         std = jnp.sqrt(var)
 
-        logp = (rews - rew_Ybar) / std / args.temp_sample
+        logp = jnp.where(
+            finite, (rews - rew_Ybar) / std / args.temp_sample, -jnp.inf
+        )
         logp_bar = (rew_Ybar - rew_Ybar) / std / args.temp_sample  # = 0
 
         # log-sum-exp-stable softmax over the global set
@@ -124,9 +129,11 @@ class ShardedMBDPI:
         w = e / denom  # (local,)
         w_bar = e_bar / denom
 
-        # weighted means via psum (mean-sample term added once, replicated)
+        # weighted means via psum (mean-sample term added once, replicated);
+        # zero-weight (non-finite) samples are zeroed so 0 * nan never leaks
         def wavg(samples_local, bar_value):
-            local = jnp.einsum("n,n...->...", w, samples_local)
+            mask = finite.reshape((-1,) + (1,) * (samples_local.ndim - 1))
+            local = jnp.einsum("n,n...->...", w, jnp.where(mask, samples_local, 0.0))
             return jax.lax.psum(local, AXIS) + w_bar * bar_value
 
         Ybar_new = wavg(Y0s, Ybar_clip)
