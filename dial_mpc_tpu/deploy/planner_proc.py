@@ -49,13 +49,22 @@ class MBDPublisher:
         env_config: BaseEnvConfig,
         dial_config: DialConfig,
         checkpoint_path: str | None = None,
+        sharding: str = "none",
     ):
         self.dial_config = dial_config
         self.env = env
         self.env_config = env_config
         self.checkpoint_path = checkpoint_path
 
-        self.mbdpi = MBDPI(dial_config, env)
+        # sharding: "none" (single device) or "mesh" (sample axis over all
+        # devices) — same knob as the sync runner, so the north-star deploy
+        # config (Nsample >= 8k) can ride a multi-chip mesh
+        if sharding == "mesh" and len(jax.devices()) > 1:
+            from dial_mpc_tpu.parallel import ShardedMBDPI, make_sample_mesh
+
+            self.mbdpi = ShardedMBDPI(dial_config, env, make_sample_mesh())
+        else:
+            self.mbdpi = MBDPI(dial_config, env)
         self.rng = jax.random.PRNGKey(seed=dial_config.seed)
         # wall-clock warm-start resampler over the node grid
         # (reference: dial_plan.py:136-139)
@@ -251,7 +260,13 @@ def main(args=None):
     )
     env = dial_envs.get_environment(dial_config.env_name, env_config)
 
-    publisher = MBDPublisher(env, env_config, dial_config, checkpoint_path=args.checkpoint)
+    publisher = MBDPublisher(
+        env,
+        env_config,
+        dial_config,
+        checkpoint_path=args.checkpoint,
+        sharding=config_dict.get("sharding", "none"),
+    )
     try:
         publisher.main_loop()
     except KeyboardInterrupt:

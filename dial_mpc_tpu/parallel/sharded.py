@@ -56,6 +56,9 @@ class ShardedMBDPI:
             )
         self.local_samples = args.Nsample // n_dev
         self.sigma_control = self.inner.sigma_control
+        # spline node grid, used by the deploy planner's wall-clock shift
+        self.step_nodes = self.inner.step_nodes
+        self.step_us = self.inner.step_us
 
         self._reverse_once_sharded = jax.jit(
             jax.shard_map(

@@ -34,6 +34,45 @@ def test_shm_bus_roundtrip():
         bus.close()
 
 
+def test_publisher_sharded_mesh():
+    """Deploy planner on the 8-device mesh: the north-star config path.
+
+    The bus is created in-process (static clock); the publisher must build
+    a ShardedMBDPI and publish finite, non-trivial plans.
+    """
+    import dial_mpc_tpu.envs as dial_envs
+    from dial_mpc_tpu.core.dial_config import DialConfig
+    from dial_mpc_tpu.deploy.planner_proc import MBDPublisher
+    from dial_mpc_tpu.parallel import ShardedMBDPI
+
+    dial_cfg = DialConfig(
+        env_name="unitree_go2_walk",
+        Nsample=16,
+        Hsample=16,
+        Hnode=4,
+        Ndiffuse=1,
+        Ndiffuse_init=2,
+    )
+    env_cfg = dial_envs.get_config(dial_cfg.env_name)(kd=0.0)
+    env = dial_envs.get_environment(dial_cfg.env_name, env_cfg)
+    nx = env.mj_model.nq + env.mj_model.nv
+    bus = ShmBus(nx=nx, nu=env.mj_model.nu, n_acts=17, create=True)
+    try:
+        bus.state[: env.mj_model.nq] = env.mj_model.keyframe("home").qpos
+        pub = MBDPublisher(env, env_cfg, dial_cfg, sharding="mesh")
+        try:
+            assert isinstance(pub.mbdpi, ShardedMBDPI)
+            pub.main_loop(max_iters=3, verbose=False)
+            taus = np.array(pub.bus.tau)
+            acts = np.array(pub.bus.acts)
+        finally:
+            pub.close()
+        assert np.isfinite(taus).all() and np.isfinite(acts).all()
+        assert np.abs(taus).max() > 0.0, "sharded planner published empty torques"
+    finally:
+        bus.close()
+
+
 SIM_SCRIPT = """
 import sys; sys.path.insert(0, {repo!r})
 from dial_mpc_tpu.deploy.sim_server import DialSim, DialSimConfig
