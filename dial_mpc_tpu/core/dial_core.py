@@ -138,10 +138,15 @@ class MBDPI:
 
     # -- one annealing level ------------------------------------------------
 
-    def reverse_once(
-        self, state, rng: jax.Array, Ybar_i: jax.Array, noise_scale: jax.Array
-    ):
-        """Sample -> rollout -> softmax-weighted update (dial_core.py:103-145)."""
+    def sample_nodes(
+        self, rng: jax.Array, Ybar_i: jax.Array, noise_scale: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Draw the level's noised node trajectories.
+
+        RNG stream parity with the reference (dial_core.py:104-115): one
+        split, then one normal of shape (Nsample, Hnode+1, nu) — encoded as
+        a test in tests/test_planner.py so the claim can't rot.
+        """
         rng, Y0s_rng = jax.random.split(rng)
         eps_Y = jax.random.normal(
             Y0s_rng, (self.args.Nsample, self.args.Hnode + 1, self.nu)
@@ -151,7 +156,13 @@ class MBDPI:
         Y0s = Y0s.at[:, 0].set(Ybar_i[0])
         # evaluate the current mean alongside the samples
         Y0s = jnp.concatenate([Y0s, Ybar_i[None]], axis=0)
-        Y0s = jnp.clip(Y0s, -1.0, 1.0)
+        return rng, jnp.clip(Y0s, -1.0, 1.0)
+
+    def reverse_once(
+        self, state, rng: jax.Array, Ybar_i: jax.Array, noise_scale: jax.Array
+    ):
+        """Sample -> rollout -> softmax-weighted update (dial_core.py:103-145)."""
+        rng, Y0s = self.sample_nodes(rng, Ybar_i, noise_scale)
 
         us = self.node2u(Y0s)  # (Nsample+1, Hsample+1, nu) — one GEMM
 

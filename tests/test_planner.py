@@ -60,6 +60,37 @@ def test_control_step_deterministic(planner):
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
 
 
+def test_rng_stream_matches_reference_order(planner):
+    """The sampling stream reproduces the reference's draw order exactly.
+
+    Reference (dial_core.py:104-115): ``rng, k = split(rng)`` then one
+    ``normal(k, (Nsample, Hnode+1, nu))``; noised nodes are built by
+    scale+shift, node 0 re-pinned, the mean appended, then a +/-1 clip.
+    This test re-derives that stream shape-for-shape and requires bitwise
+    identity, so identical seeds yield the reference's sample set.
+    """
+    cfg, env, mbdpi = planner
+    rng = jax.random.PRNGKey(42)
+    Ybar = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.Hnode + 1, mbdpi.nu)),
+        jnp.float32,
+    )
+    noise = mbdpi.sigma_control.astype(jnp.float32)
+
+    rng_out, Y0s = mbdpi.sample_nodes(rng, Ybar, noise)
+
+    # the reference's stream, re-derived independently
+    rng_ref, k = jax.random.split(rng)
+    eps = jax.random.normal(k, (cfg.Nsample, cfg.Hnode + 1, mbdpi.nu))
+    ref = eps * noise[None, :, None] + Ybar
+    ref = ref.at[:, 0].set(Ybar[0])
+    ref = jnp.concatenate([ref, Ybar[None]], axis=0)
+    ref = jnp.clip(ref, -1.0, 1.0)
+
+    np.testing.assert_array_equal(np.asarray(Y0s), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng_ref))
+
+
 def test_reverse_once_improves_plan_reward(planner):
     """After annealing from zero, the weighted plan out-scores zero controls."""
     cfg, env, mbdpi = planner
