@@ -44,35 +44,6 @@ def rollout_us(step_env, state, us):
     return rews, pipeline_states
 
 
-def rollout_us_fused(env, state, us):
-    """Fused-rollout path: ONE Pallas kernel call advances the whole horizon
-    (PD control computed in-kernel), then the env's reward/info stack is
-    replayed over the precomputed step states — identical semantics to
-    `rollout_us`, ~Hsample fewer kernel launches per rollout."""
-    from dial_mpc_tpu.physics import engine_pallas
-
-    H = us.shape[0]
-    core = engine_pallas.rollout_core_for(env, H)
-    d0 = state.pipeline_state
-    outs = core(d0.qpos, d0.qvel, us)
-    datas = engine_pallas.stacked_lean_data(
-        env.sys,
-        d0,
-        outs,
-        jnp.zeros((H, env.sys.nu), us.dtype),
-        H,
-        env.sys.opt.timestep.astype(us.dtype),
-    )
-
-    def replay(s, xs):
-        u, d_next = xs
-        s = env.step(s, u, pipeline_next=d_next)
-        return s, (s.reward, s.pipeline_state)
-
-    _, (rews, pipeline_states) = jax.lax.scan(replay, state, (us, datas))
-    return rews, pipeline_states
-
-
 class MBDPI:
     """Model-Based Diffusion Planner with annealed MPPI updates."""
 
@@ -100,22 +71,12 @@ class MBDPI:
         self.n2u = FixedSpline(self.step_nodes, self.step_us)
         self.u2n = FixedSpline(self.step_us, self.step_nodes)
 
-        # jitted entry points. The fused-rollout kernel (whole horizon in
-        # one kernel call) measures no faster than per-step kernel calls at
-        # 4x the compile time, so it stays opt-in (DIAL_MPC_FUSED_ROLLOUT=1).
-        import os as _os
-
-        from dial_mpc_tpu.physics import engine_pallas as _ep
-
-        use_fused = (
-            _ep.engine_enabled(env.sys)
-            and getattr(env, "_n_frames", None) == 1
-            and _os.environ.get("DIAL_MPC_FUSED_ROLLOUT", "0") == "1"
-        )
-        if use_fused:
-            self.rollout_us = jax.jit(functools.partial(rollout_us_fused, env))
-        else:
-            self.rollout_us = jax.jit(functools.partial(rollout_us, self.env.step))
+        # jitted entry points. (A whole-horizon fused-rollout kernel was
+        # measured at 10.3 ms vs 9.2 ms for per-step kernel calls at 4x the
+        # compile cost and was removed: inside one XLA program, per-substep
+        # pallas_call dispatch is device-side and already pipelined — there
+        # is no CUDA-style per-launch host overhead to amortize.)
+        self.rollout_us = jax.jit(functools.partial(rollout_us, self.env.step))
         self.rollout_us_vmap = jax.jit(jax.vmap(self.rollout_us, in_axes=(None, 0)))
         self.reverse_once_jit = jax.jit(self.reverse_once)
         self.shift_jit = jax.jit(self.shift)

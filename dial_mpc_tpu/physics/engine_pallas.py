@@ -975,9 +975,9 @@ def _build_step_kernel(m: Model, block: int):
 
     def write_outs(o, qp_new, qv_new, qpos_out, qvel_out, site_xpos_out,
                    site_xmat_out, xpos_out, xrot_out, xdvel_out, xdang_out,
-                   cdist_out, cpos_out, qacc_out, step=None):
-        """Write one step's outputs to refs; leading step index optional."""
-        ix = (lambda i: (step, i)) if step is not None else (lambda i: i)
+                   cdist_out, cpos_out, qacc_out):
+        """Write one step's outputs to refs."""
+        ix = lambda i: i
         zero = o["zero"]
         for i in range(nq):
             qpos_out[ix(i)] = qp_new[i]
@@ -1268,216 +1268,5 @@ def trim_data(m: Model, d):
         xd_vel=d.xd_vel,
         xd_ang=d.xd_ang,
         qacc=d.qacc,
-        contact=contact,
-    )
-
-
-# ---------------------------------------------------------------------------
-# fused horizon rollout: one kernel call rolls the whole control horizon
-# ---------------------------------------------------------------------------
-
-
-def _ctrl_cfg_for(env):
-    """Static PD/actuation parameters from a BaseEnv (baked into the kernel)."""
-    import numpy as _np
-
-    nu = env.action_size
-    mode = env._config.leg_control
-    scale = float(env._config.action_scale)
-    kp = _np.broadcast_to(_np.asarray(jax.device_get(env._config.kp), _np.float64), (nu,))
-    kd = _np.broadcast_to(_np.asarray(jax.device_get(env._config.kd), _np.float64), (nu,))
-    jr = _np.asarray(jax.device_get(env.joint_range), _np.float64)
-    pr = _np.asarray(jax.device_get(env.physical_joint_range), _np.float64)
-    tq = _np.asarray(jax.device_get(env.joint_torque_range), _np.float64)
-    off = _np.zeros(nu)
-    if hasattr(env, "_init_q") and type(env).act2joint is not None:
-        # Allegro offsets targets from the keyframe pose (manipulation.py:102-115)
-        from dial_mpc_tpu.envs.manipulation import AllegroReorientEnv
-
-        if isinstance(env, AllegroReorientEnv):
-            off = _np.asarray(jax.device_get(env._init_q))[7:]
-    return (
-        mode,
-        scale,
-        tuple(kp),
-        tuple(kd),
-        tuple(map(tuple, jr)),
-        tuple(map(tuple, pr)),
-        tuple(map(tuple, tq)),
-        tuple(off),
-    )
-
-
-def _build_rollout_kernel(m: Model, ctrl_cfg, horizon: int, block: int):
-    """Kernel: (qpos0, qvel0, us (H, nu)) -> per-step stacked outputs."""
-    _, step_lanes, write_outs = _build_step_kernel(m, block)
-    (mode, scale, kp, kd, jr, pr, tq, off) = ctrl_cfg
-    nq, nv, nu = m.nq, m.nv, m.nu
-
-    def kernel(qpos_ref, qvel_ref, us_ref, *out_refs):
-        qp = [qpos_ref[i] for i in range(nq)]
-        qv = [qvel_ref[i] for i in range(nv)]
-        for t in range(horizon):
-            u = [us_ref[t, i] for i in range(nu)]
-            ct = []
-            for i in range(nu):
-                act_norm = (u[i] * scale + 1.0) * 0.5
-                jt = jr[i][0] + off[i] + act_norm * (jr[i][1] - jr[i][0])
-                jt = jnp.clip(jt, pr[i][0], pr[i][1])
-                if mode == "position":
-                    ct.append(jt)
-                else:
-                    tau = kp[i] * (jt - qp[7 + i]) - kd[i] * qv[6 + i]
-                    ct.append(jnp.clip(tau, tq[i][0], tq[i][1]))
-            qp, qv, o = step_lanes(qp, qv, ct)
-            write_outs(o, qp, qv, *out_refs, step=t)
-
-    return kernel
-
-
-_ROLLOUT_CACHE: dict = {}
-
-
-def rollout_core_for(env, horizon: int):
-    """custom_vmap fused-rollout core: (qpos0, qvel0, us) -> stacked outputs.
-
-    Scalar path: XLA loop of env-level PD + reference steps. Vmapped path:
-    the horizon-fused Pallas kernel (one call per sample block).
-    """
-    m = env.sys
-    ctrl_cfg = _ctrl_cfg_for(env)
-    block = max(_auto_block(m) // 2, 128)  # per-step outputs stay in VMEM
-    key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
-           m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
-           ctrl_cfg, horizon, block)
-    if key in _ROLLOUT_CACHE:
-        return _ROLLOUT_CACHE[key]
-
-    specs = _out_specs(m)
-    step_core = step_core_for(m)
-
-    def _xla_ref(qpos, qvel, us):
-        (mode, scale, kp, kd, jr, pr, tq, off) = ctrl_cfg
-        kp_a = jnp.asarray(kp, qpos.dtype)
-        kd_a = jnp.asarray(kd, qpos.dtype)
-        jr_a = jnp.asarray(jr, qpos.dtype)
-        pr_a = jnp.asarray(pr, qpos.dtype)
-        tq_a = jnp.asarray(tq, qpos.dtype)
-        off_a = jnp.asarray(off, qpos.dtype)
-
-        def body(carry, u):
-            qp, qv = carry
-            act_norm = (u * scale + 1.0) * 0.5
-            jt = jnp.clip(
-                jr_a[:, 0] + off_a + act_norm * (jr_a[:, 1] - jr_a[:, 0]),
-                pr_a[:, 0],
-                pr_a[:, 1],
-            )
-            if mode == "position":
-                ct = jt
-            else:
-                ct = jnp.clip(
-                    kp_a * (jt - qp[7 : 7 + m.nu]) - kd_a * qv[6 : 6 + m.nu],
-                    tq_a[:, 0],
-                    tq_a[:, 1],
-                )
-            outs = step_core(qp, qv, ct)
-            return (outs[0], outs[1]), outs
-
-        _, outs = jax.lax.scan(body, (qpos, qvel), us)
-        return outs  # each leaf (H, n)
-
-    kernel = _build_rollout_kernel(m, ctrl_cfg, horizon, block)
-
-    def _pallas_batched(qpos, qvel, us):
-        B = qpos.shape[0]
-        Bp = ((B + block - 1) // block) * block
-        pad = Bp - B
-
-        def prep(x):
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
-                )
-            return jnp.moveaxis(x, 0, -1)
-
-        qp, qv = prep(qpos), prep(qvel)
-        ust = prep(us)  # (H, nu, Bp)
-        grid = (Bp // block,)
-        in_specs = [
-            pl.BlockSpec((m.nq, block), lambda i: (0, i)),
-            pl.BlockSpec((m.nv, block), lambda i: (0, i)),
-            pl.BlockSpec((horizon, m.nu, block), lambda i: (0, 0, i)),
-        ]
-        out_specs = [
-            pl.BlockSpec((horizon, n, block), lambda i: (0, 0, i))
-            for _, n in specs
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((horizon, n, Bp), qpos.dtype)
-                for _, n in specs
-            ],
-            interpret=_use_interpret(),
-        )(qp, qv, ust)
-        return tuple(jnp.moveaxis(o, -1, 0)[:B] for o in outs)
-
-    @jax.custom_batching.custom_vmap
-    def core(qpos, qvel, us):
-        return _xla_ref(qpos, qvel, us)
-
-    @core.def_vmap
-    def _core_vmap(axis_size, in_batched, qpos, qvel, us):
-        args = [
-            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
-            for a, b in zip((qpos, qvel, us), in_batched)
-        ]
-        out = _pallas_batched(*args)
-        return out, tuple(True for _ in out)
-
-    _ROLLOUT_CACHE[key] = core
-    return core
-
-
-def stacked_lean_data(m: Model, d0, outs, us_ctrl_placeholder, horizon, dt):
-    """Assemble a lean Data pytree with a leading horizon axis from stacked
-    rollout-core outputs (for lax.scan replay of the reward stacks)."""
-    (qpos, qvel, site_xpos, site_xmat, x_pos, x_rot, xd_vel, xd_ang,
-     cdist, cpos, qacc) = outs
-    from dial_mpc_tpu.physics.model import Contact, Data
-
-    nbody1 = m.nbody - 1
-    H = horizon
-
-    def bcast(x):
-        return jnp.broadcast_to(x, (H,) + x.shape)
-
-    contact = Contact(
-        dist=cdist[:, : m.ncon],
-        pos=cpos.reshape(H, -1, 3)[:, : m.ncon],
-        frame=None,
-        geom=bcast(m.con_geom),
-        includemargin=bcast(m.con_includemargin),
-        friction=bcast(m.con_friction),
-        solref=bcast(m.con_solref),
-        solimp=bcast(m.con_solimp),
-        dim=bcast(m.con_dim),
-    )
-    return Data(
-        qpos=qpos,
-        qvel=qvel,
-        ctrl=us_ctrl_placeholder,
-        time=d0.time + dt * (1 + jnp.arange(H, dtype=qpos.dtype)),
-        site_xpos=site_xpos[:, : m.nsite * 3].reshape(H, m.nsite, 3),
-        site_xmat=site_xmat[:, : m.nsite * 9].reshape(H, m.nsite, 3, 3),
-        x_pos=x_pos.reshape(H, nbody1, 3),
-        x_rot=x_rot.reshape(H, nbody1, 4),
-        xd_vel=xd_vel.reshape(H, nbody1, 3),
-        xd_ang=xd_ang.reshape(H, nbody1, 3),
-        qacc=qacc,
         contact=contact,
     )
