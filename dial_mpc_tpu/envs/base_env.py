@@ -141,8 +141,8 @@ class BaseEnv:
         return engine_pallas.trim_data(self.sys, d)
 
     def advance(self, state, ctrl, pipeline_next=None):
-        """Next pipeline state: live physics, or playback of a fused-rollout
-        kernel result (the applied ctrl is recorded either way)."""
+        """Next pipeline state: live physics, or playback of a precomputed
+        Data (test/replay injection; the applied ctrl is recorded either way)."""
         if pipeline_next is not None:
             return data_replace(
                 pipeline_next, ctrl=ctrl.astype(pipeline_next.qpos.dtype)
@@ -179,3 +179,48 @@ class BaseEnv:
 
     def step(self, state: State, action: jax.Array) -> State:
         raise NotImplementedError
+
+    # -- rendering (reference: unitree_go2_env.py:288-296, brax
+    # PipelineEnv.render; and dial_core.py:289-329 html flow) ---------------
+
+    def render(self, trajectory, camera=None, width=240, height=320):
+        """Rasterize a trajectory of States (or pipeline Datas) to a list of
+        RGB uint8 arrays via CPU MuJoCo. Needs a GL backend (set MUJOCO_GL=
+        egl/osmesa when headless); GL-less machines should use
+        ``render_html`` instead."""
+        renderer = mujoco.Renderer(self.mj_model, height=height, width=width)
+        data = mujoco.MjData(self.mj_model)
+        out = []
+        try:
+            for st in trajectory:
+                ps = getattr(st, "pipeline_state", st)
+                data.qpos[:] = np.asarray(ps.qpos)
+                data.qvel[:] = np.asarray(ps.qvel)
+                mujoco.mj_forward(self.mj_model, data)
+                if camera is None:
+                    renderer.update_scene(data)
+                else:
+                    renderer.update_scene(data, camera=camera)
+                out.append(renderer.render())
+        finally:
+            renderer.close()
+        return out
+
+    def render_html(self, trajectory, path, fps=None, decimate=1):
+        """Self-contained WebGL HTML viewer of a trajectory of States (or
+        pipeline Datas, or raw qpos rows). Works headless; meshes render at
+        full fidelity (decimated). Counterpart of the reference's brax
+        ``html.render`` output (dial_core.py:289-329)."""
+        from dial_mpc_tpu.viz.html_viewer import render_trajectory
+
+        qpos = []
+        for st in trajectory:
+            ps = getattr(st, "pipeline_state", st)
+            qpos.append(np.asarray(getattr(ps, "qpos", ps)))
+        return render_trajectory(
+            self.mj_model,
+            np.stack(qpos),
+            path,
+            fps=(1.0 / self.dt if fps is None else fps),
+            decimate=decimate,
+        )

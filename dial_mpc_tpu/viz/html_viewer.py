@@ -39,21 +39,80 @@ def _geoms(mj_model):
     out = []
     for g in range(mj_model.ngeom):
         typ = _GEOM_TYPES.get(int(mj_model.geom_type[g]))
-        if typ is None:
-            # meshes render as boxes around their bounding size
+        entry = None
+        if typ is None and int(mj_model.geom_type[g]) == 7:  # mjGEOM_MESH
+            typ = "mesh"
+            entry = int(mj_model.geom_dataid[g])
+        elif typ is None:
+            # unsupported primitive: bounding box fallback
             typ = "box"
         rgba = mj_model.geom_rgba[g].tolist()
         if rgba[3] == 0.0:
             continue
-        out.append(
-            {
-                "id": g,
-                "type": typ,
-                "size": mj_model.geom_size[g].tolist(),
-                "rgba": rgba,
-            }
-        )
+        item = {
+            "id": g,
+            "type": typ,
+            "size": mj_model.geom_size[g].tolist(),
+            "rgba": rgba,
+        }
+        if entry is not None:
+            item["mid"] = entry
+        out.append(item)
     return out
+
+
+def _decimate(verts, faces, target_faces):
+    """Vertex-clustering decimation: snap vertices to a uniform grid, merge
+    clusters, drop degenerate/duplicate faces. Dependency-free and fast;
+    fidelity is ample for a trajectory viewer."""
+    if len(faces) <= target_faces:
+        return verts, faces
+    bbmin = verts.min(axis=0)
+    extent = float((verts.max(axis=0) - bbmin).max()) or 1.0
+    best = None
+    for res in (96, 72, 56, 44, 34, 26, 20, 14, 10, 7):
+        cell = extent / res
+        key = np.floor((verts - bbmin) / cell).astype(np.int64)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        reps = np.zeros((len(uniq), 3))
+        np.add.at(reps, inv, verts)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+        reps /= counts[:, None]
+        f2 = inv[faces]
+        good = (
+            (f2[:, 0] != f2[:, 1])
+            & (f2[:, 1] != f2[:, 2])
+            & (f2[:, 0] != f2[:, 2])
+        )
+        f2 = f2[good]
+        fs = np.sort(f2, axis=1)
+        _, ui = np.unique(fs, axis=0, return_index=True)
+        f2 = f2[np.sort(ui)]
+        best = (reps.astype(np.float32), f2)
+        if len(f2) <= target_faces:
+            break
+    return best
+
+
+def _mesh_library(mj_model, used_mids, target_faces=1500):
+    """id -> flat [px,py,pz,nx,ny,nz] x 3 verts per face (non-indexed,
+    flat-shaded), decimated. Geometry comes straight from the compiled
+    model (mesh_vert/mesh_face are already in the geom frame)."""
+    lib = {}
+    for mid in sorted(used_mids):
+        va, vn = int(mj_model.mesh_vertadr[mid]), int(mj_model.mesh_vertnum[mid])
+        fa, fn = int(mj_model.mesh_faceadr[mid]), int(mj_model.mesh_facenum[mid])
+        verts = mj_model.mesh_vert[va : va + vn].astype(np.float64)
+        faces = mj_model.mesh_face[fa : fa + fn].astype(np.int64)
+        verts, faces = _decimate(verts, faces, target_faces)
+        tri = verts[faces]  # (F, 3, 3)
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        flat = np.concatenate(
+            [tri, np.repeat(n[:, None, :], 3, axis=1)], axis=2
+        )  # (F, 3, 6)
+        lib[str(mid)] = np.round(flat.reshape(-1), 4).tolist()
+    return lib
 
 
 def render_trajectory(mj_model, qpos_traj, path, fps=50.0, decimate=1):
@@ -62,9 +121,13 @@ def render_trajectory(mj_model, qpos_traj, path, fps=50.0, decimate=1):
     geoms = _geoms(mj_model)
     keep = [g["id"] for g in geoms]
     frames = frames[:, keep, :]
+    meshlib = _mesh_library(
+        mj_model, {g["mid"] for g in geoms if g["type"] == "mesh"}
+    )
     payload = {
         "fps": fps / decimate,
         "geoms": geoms,
+        "meshlib": meshlib,
         "frames": np.round(frames, 4).tolist(),
     }
     html = _TEMPLATE.replace("__DATA__", json.dumps(payload))
@@ -123,6 +186,7 @@ const meshes=DATA.geoms.map(g=>{
    return mesh([...cylSide(r,h),...uvSphere(r,0,Math.PI/2,h),...uvSphere(r,-Math.PI/2,0,-h)]);}
  if(g.type=='cylinder')return mesh([...cylSide(g.size[0],g.size[1]),...boxMesh(0,0,0)]);
  if(g.type=='plane')return mesh(planeMesh(g.size[0]));
+ if(g.type=='mesh')return mesh(DATA.meshlib[g.mid]);
  return mesh(boxMesh(g.size[0]||.05,g.size[1]||.05,g.size[2]||.05));});
 // ---- matrices ----
 function mul(a,b){const o=new Array(16).fill(0);for(let i=0;i<4;i++)for(let j=0;j<4;j++)for(let k=0;k<4;k++)o[j*4+i]+=a[k*4+i]*b[j*4+k];return o;}
