@@ -117,11 +117,22 @@ class BaseEnv:
 
         ctrl = ctrl.astype(d.qpos.dtype)
         if engine_pallas.engine_enabled(self.sys):
-            core = engine_pallas.step_core_for(self.sys)
-            qpos, qvel = d.qpos, d.qvel
-            for _ in range(self._n_frames):
-                outs = core(qpos, qvel, ctrl)
-                qpos, qvel = outs[0], outs[1]
+            import os as _os
+
+            if _os.environ.get("DIAL_MPC_FUSE_FRAMES", "1") != "0":
+                # one kernel call for all n_frames substeps: the (qpos,
+                # qvel) carry stays in VMEM; intermediate substeps touch
+                # no HBM at all
+                core = engine_pallas.step_core_for(
+                    self.sys, n_steps=self._n_frames
+                )
+                outs = core(d.qpos, d.qvel, ctrl)
+            else:
+                core = engine_pallas.step_core_for(self.sys)
+                qpos, qvel = d.qpos, d.qvel
+                for _ in range(self._n_frames):
+                    outs = core(qpos, qvel, ctrl)
+                    qpos, qvel = outs[0], outs[1]
             return engine_pallas.lean_data(
                 self.sys, d, outs, ctrl,
                 self._n_frames * self.sys.opt.timestep.astype(d.qpos.dtype),

@@ -101,8 +101,6 @@ class ShardedMBDPI:
         rewss, statess_aug = jax.vmap(
             lambda u: self.inner.rollout_us(state, u)
         )(us)
-        statess = jax.tree.map(lambda x: x[:-1], statess_aug)
-        states_bar = jax.tree.map(lambda x: x[-1], statess_aug)
 
         rews_all = rewss.mean(axis=-1)  # (local+1,)
         rews = rews_all[:-1]
@@ -132,17 +130,30 @@ class ShardedMBDPI:
         w = e / denom  # (local,)
         w_bar = e_bar / denom
 
-        # weighted means via psum (mean-sample term added once, replicated);
-        # zero-weight (non-finite) samples are zeroed so 0 * nan never leaks
-        def wavg(samples_local, bar_value):
-            mask = finite.reshape((-1,) + (1,) * (samples_local.ndim - 1))
-            local = jnp.einsum("n,n...->...", w, jnp.where(mask, samples_local, 0.0))
-            return jax.lax.psum(local, AXIS) + w_bar * bar_value
+        # weighted means via psum. The (replicated) mean-sample row is the
+        # LAST row of the augmented batch on every device; giving it weight
+        # w_bar / n_dev makes the psum add it exactly once — no slicing
+        # copies of the rollout arrays (each is (local+1, Hsample+1, ...)).
+        # Zero-weight (non-finite) samples are zeroed so 0 * nan never leaks.
+        n_dev = jax.lax.psum(1, AXIS)
+        w_aug = jnp.concatenate(
+            [jnp.where(finite, w, 0.0), (w_bar / n_dev)[None]], axis=0
+        )
+        finite_aug = jnp.concatenate(
+            [finite, jnp.ones(1, bool)], axis=0
+        )
 
-        Ybar_new = wavg(Y0s, Ybar_clip)
-        qbar = wavg(statess.qpos, states_bar.qpos)
-        qdbar = wavg(statess.qvel, states_bar.qvel)
-        xbar = wavg(statess.x_pos, states_bar.x_pos)
+        def wavg(samples_aug):
+            mask = finite_aug.reshape((-1,) + (1,) * (samples_aug.ndim - 1))
+            local = jnp.einsum(
+                "n,n...->...", w_aug, jnp.where(mask, samples_aug, 0.0)
+            )
+            return jax.lax.psum(local, AXIS)
+
+        Ybar_new = wavg(Y0s_aug)
+        qbar = wavg(statess_aug.qpos)
+        qdbar = wavg(statess_aug.qvel)
+        xbar = wavg(statess_aug.x_pos)
 
         rng = jax.random.fold_in(rng, 1)  # advance the level stream
         info = {

@@ -261,8 +261,12 @@ def _build_step_kernel(m: Model, block: int):
             for row, frow in zip([n, t1, t2], fallback)
         ]
 
-    def step_lanes(qp, qv, ct):
-        """One physics step on lane lists; returns (qp', qv', outs dict)."""
+    def step_lanes(qp, qv, ct, want_outs=True):
+        """One physics step on lane lists; returns (qp', qv', outs dict).
+
+        want_outs=False skips building the output-only products (sites,
+        maximal-coordinate views) — used by intermediate substeps of the
+        fused n_frames kernel, whose carry is only (qpos, qvel)."""
         zero = jnp.zeros_like(qp[0])
         one = jnp.ones_like(qp[0])
 
@@ -328,10 +332,11 @@ def _build_step_kernel(m: Model, block: int):
                 geom_R[g] = quat_to_mat(quat_mul(xquat[b], list(geom_quat[g])))
         site_x = []
         site_R = []
-        for s in range(nsite):
-            b = int(site_bodyid[s])
-            site_x.append(vadd(xpos[b], quat_rot(list(site_pos[s]), xquat[b])))
-            site_R.append(quat_to_mat(quat_mul(xquat[b], list(site_quat[s]))))
+        if want_outs:
+            for s in range(nsite):
+                b = int(site_bodyid[s])
+                site_x.append(vadd(xpos[b], quat_rot(list(site_pos[s]), xquat[b])))
+                site_R.append(quat_to_mat(quat_mul(xquat[b], list(site_quat[s]))))
 
         # ---- com quantities (kinematics.py:120-173) ----
         wsum = [vscale(xipos[b], float(body_mass[b])) for b in range(nbody)]
@@ -426,15 +431,27 @@ def _build_step_kernel(m: Model, block: int):
             return [vdot(M6[i], v) for i in range(6)]
 
         F = [m6v(crb_acc[m.dof_bodyid[i]], cdof[i]) for i in range(nv)]
+        # M is symmetric: compute j <= i once and alias the mirror.
+        # M_mask is the static tree sparsity (dofs couple only along
+        # ancestor chains); the Cholesky solves below and the Newton solve
+        # skip masked-out entries entirely, and eliminating children-first
+        # (reverse dof order) factorizes the tree pattern with no fill-in.
+        M_mask = [
+            [bool(anc_mask[i][j] or anc_mask[j][i]) or i == j for j in range(nv)]
+            for i in range(nv)
+        ]
+        M_perm = list(range(nv))[::-1]
         Mrows = [[None] * nv for _ in range(nv)]
         for i in range(nv):
-            for j in range(nv):
-                if anc_mask[i][j] or anc_mask[j][i]:
-                    lo, hi = (i, j) if j <= i else (j, i)
-                    val = vdot(F[lo], cdof[hi])
+            for j in range(i + 1):
+                if M_mask[i][j]:
+                    # CRB: M[i][j] = cdof[j]^T (crb[body(i)] cdof[i]), j <= i
+                    val = vdot(F[i], cdof[j])
                     Mrows[i][j] = val
+                    Mrows[j][i] = val
                 else:
                     Mrows[i][j] = zero
+                    Mrows[j][i] = zero
             Mrows[i][i] = Mrows[i][i] + float(dof_armature[i])
 
         # ---- com_vel (kinematics.py:176-209) ----
@@ -512,7 +529,9 @@ def _build_step_kernel(m: Model, block: int):
         qfrc_smooth = [
             qfrc_passive[i] + qfrc_act[i] - qfrc_bias[i] for i in range(nv)
         ]
-        qacc_smooth = solver_pallas._chol_solve_lanes(Mrows, qfrc_smooth, nv)
+        qacc_smooth = solver_pallas._chol_solve_lanes(
+            Mrows, qfrc_smooth, nv, mask=M_mask, perm=M_perm
+        )
         if _DEBUG_SINK is not None:
             _DEBUG_SINK.update(
                 qfrc_bias=qfrc_bias, qfrc_act=qfrc_act,
@@ -713,7 +732,9 @@ def _build_step_kernel(m: Model, block: int):
                 raise NotImplementedError(f"collider {key}")
 
         # ---- constraint rows (constraint.py) ----
-        rows_J = []  # each: list of nv lanes
+        # rows_J entries are (B,) lanes or the static-zero marker 0.0 —
+        # the sparse Newton solve skips marked entries at trace time
+        rows_J = []
         rows_D = []
         rows_aref = []
         rows_fl = []
@@ -722,7 +743,7 @@ def _build_step_kernel(m: Model, block: int):
         for i in range(nv):
             if m.dof_frictionloss_static[i] <= 0:
                 continue
-            J = [zero] * nv
+            J = [0.0] * nv
             J[i] = one
             imp, aref = kbi(dof_solref[i], dof_solimp[i], zero, qv[i])
             R = jnp.maximum((1.0 - imp) / imp * dof_invw[i], MJ_MINVAL)
@@ -748,12 +769,12 @@ def _build_step_kernel(m: Model, block: int):
                 sign = jnp.where(use_lo, 1.0, -1.0)
                 pos = dist - jnt_margin[j]
                 active = (dist < jnt_margin[j]).astype(qp[0].dtype)
-                J = [zero] * nv
-                J[dadr] = sign
+                J = [0.0] * nv
+                J[dadr] = sign * active
                 vel = sign * qv[dadr]
                 imp, aref = kbi(jnt_solref[j], jnt_solimp[j], pos, vel)
                 R = jnp.maximum((1.0 - imp) / imp * dof_invw[dadr], MJ_MINVAL)
-                rows_J.append([J[i] * active for i in range(nv)])
+                rows_J.append(J)
                 rows_D.append(active / R)
                 rows_aref.append(aref * active)
                 rows_fl.append(zero)
@@ -792,12 +813,15 @@ def _build_step_kernel(m: Model, block: int):
             jacp2, jacr2 = pj(b2)
 
             def drow(jac1, jac2, direction):
+                # statically-zero columns (dofs outside both bodies'
+                # chains) are the python marker 0.0 — the sparse solver
+                # skips them at trace time
                 row = []
                 for i in range(nv):
                     a = jac2[i]
                     bq = jac1[i]
                     if a is None and bq is None:
-                        row.append(zero)
+                        row.append(0.0)
                     elif bq is None:
                         row.append(vdot(a, direction))
                     elif a is None:
@@ -812,13 +836,25 @@ def _build_step_kernel(m: Model, block: int):
             invw_r = body_invw[b1][1] + body_invw[b2][1]
 
             def jrow_vel(row):
-                return sum(row[i] * qv[i] for i in range(nv))
+                s = None
+                for i in range(nv):
+                    if isinstance(row[i], float):
+                        continue
+                    t = row[i] * qv[i]
+                    s = t if s is None else s + t
+                return zero if s is None else s
+
+            def jmask(row):
+                return [
+                    0.0 if isinstance(row[i], float) else row[i] * active
+                    for i in range(nv)
+                ]
 
             if condim == 1:
                 vel = jrow_vel(Jn)
                 _, aref = kbi(con_solref[slot], con_solimp[slot], pos, vel)
                 R = jnp.maximum((1.0 - imp) / imp * invw_t, MJ_MINVAL)
-                rows_J.append([Jn[i] * active for i in range(nv)])
+                rows_J.append(jmask(Jn))
                 rows_D.append(active / R)
                 rows_aref.append(aref * active)
                 rows_fl.append(zero)
@@ -831,7 +867,7 @@ def _build_step_kernel(m: Model, block: int):
                 vel_n = jrow_vel(Jn)
                 _, aref_n = kbi(con_solref[slot], con_solimp[slot], pos, vel_n)
                 groups.append((len(rows_J), condim))
-                rows_J.append([Jn[i] * active for i in range(nv)])
+                rows_J.append(jmask(Jn))
                 rows_D.append(active / Rn)
                 rows_aref.append(aref_n * active)
                 rows_fl.append(zero)
@@ -845,7 +881,7 @@ def _build_step_kernel(m: Model, block: int):
                     Ri = Rn * mu * mu / max(eta_i * eta_i * impratio, MJ_MINVAL)
                     vel = jrow_vel(Jf)
                     _, aref_f = kbi(con_solref[slot], con_solimp[slot], zero, vel)
-                    rows_J.append([Jf[i] * active for i in range(nv)])
+                    rows_J.append(jmask(Jf))
                     rows_D.append(active / Ri)
                     rows_aref.append(aref_f * active)
                     rows_fl.append(zero)
@@ -869,10 +905,15 @@ def _build_step_kernel(m: Model, block: int):
                         (1.0 - imp) / imp * invw_fac * 2.0 * mu * mu, MJ_MINVAL
                     )
                     for sgn in (1.0, -1.0):
-                        Jrow = [Jn[i] + sgn * mu * Jt[i] for i in range(nv)]
+                        Jrow = [
+                            0.0
+                            if isinstance(Jn[i], float) and isinstance(Jt[i], float)
+                            else Jn[i] + sgn * mu * Jt[i]
+                            for i in range(nv)
+                        ]
                         vel = jrow_vel(Jrow)
                         _, aref = kbi(con_solref[slot], con_solimp[slot], pos, vel)
-                        rows_J.append([Jrow[i] * active for i in range(nv)])
+                        rows_J.append(jmask(Jrow))
                         rows_D.append(active / R)
                         rows_aref.append(aref * active)
                         rows_fl.append(zero)
@@ -880,30 +921,21 @@ def _build_step_kernel(m: Model, block: int):
 
         nefc = len(rows_J)
 
-        # ---- Newton solve (shared in-kernel routine) ----
+        # ---- Newton solve (shared in-kernel routine, static sparsity) ----
         if nefc:
-            J = jnp.stack([jnp.stack(r, axis=0) for r in rows_J], axis=0)
-            Jc = jnp.swapaxes(J, 0, 1)
             Dv = jnp.stack(rows_D, axis=0)
             arefv = jnp.stack(rows_aref, axis=0)
             flv = jnp.stack(rows_fl, axis=0)
             etav = jnp.stack(rows_eta, axis=0)
-            Mmat = jnp.stack(
-                [jnp.stack(Mrows[i], axis=0) for i in range(nv)], axis=0
-            )
-            qs = jnp.stack(qacc_smooth, axis=0)
-            x, _f = solver_pallas.newton_solve(
-                J, Jc, Dv, arefv, flv, etav, Mmat, qs,
+            qacc, qfrc_con = solver_pallas.newton_solve_rows(
+                rows_J, Dv, arefv, flv, etav, Mrows, M_mask, qacc_smooth,
                 nv=nv,
-                nefc=nefc,
                 iterations=m.opt.iterations,
                 ls_iterations=m.opt.ls_iterations,
                 tolerance=float(m.opt.tolerance),
                 groups=tuple(groups),
                 impratio=impratio,
             )
-            qacc = [x[i] for i in range(nv)]
-            qfrc_con = [_f[i] for i in range(nv)]
         else:
             qacc = qacc_smooth
             qfrc_con = [zero] * nv
@@ -921,7 +953,9 @@ def _build_step_kernel(m: Model, block: int):
             qfrc_tot = [
                 qfrc_smooth[i] + qfrc_con[i] for i in range(nv)
             ]
-            qacc_int = solver_pallas._chol_solve_lanes(MhB, qfrc_tot, nv)
+            qacc_int = solver_pallas._chol_solve_lanes(
+                MhB, qfrc_tot, nv, mask=M_mask, perm=M_perm
+            )
         else:
             qacc_int = qacc
 
@@ -945,6 +979,9 @@ def _build_step_kernel(m: Model, block: int):
                     qp_new[qadr + 3 + i] = qn[i]
             else:
                 qp_new[qadr] = qp_new[qadr] + h * qv_new[dadr]
+
+        if not want_outs:
+            return qp_new, qv_new, None
 
         # ---- maximal-coordinate views (kinematics.py:212-225) ----
         # computed at the PRE-step kinematics (matching forward() inside step:
@@ -1022,6 +1059,45 @@ def _build_step_kernel(m: Model, block: int):
     return kernel, step_lanes, write_outs
 
 
+def _build_multistep_kernel(m: Model, block: int, n_steps: int):
+    """n_steps fused substeps per kernel call: the (qpos, qvel) carry stays
+    in VMEM across substeps (an in-kernel fori_loop), and only the FINAL
+    substep materializes the 11 outputs. Arithmetic is identical to n_steps
+    sequential single-step kernel calls (tests/test_engine_kernel.py pins
+    this), but the intermediate substeps' HBM traffic — input/output rows
+    plus the host-level lane transposes — disappears entirely.
+    """
+    _, step_lanes, write_outs = _build_step_kernel(m, block)
+    nq, nv, nu = m.nq, m.nv, m.nu
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, *out_refs):
+        qp = [qpos_ref[i] for i in range(nq)]
+        qv = [qvel_ref[i] for i in range(nv)]
+        ct = [ctrl_ref[i] for i in range(nu)]
+        if n_steps > 1:
+            if os.environ.get("DIAL_MPC_FUSE_UNROLL", "0") == "1":
+                # straight-line variant (larger compile, better Mosaic
+                # scheduling candidate) — perf experiment switch
+                for _ in range(n_steps - 1):
+                    qp, qv, _unused = step_lanes(qp, qv, ct, want_outs=False)
+            else:
+                def body(_, carry):
+                    qp_c, qv_c = list(carry[:nq]), list(carry[nq:])
+                    qp_n, qv_n, _unused = step_lanes(
+                        qp_c, qv_c, ct, want_outs=False
+                    )
+                    return tuple(qp_n) + tuple(qv_n)
+
+                carry = jax.lax.fori_loop(
+                    0, n_steps - 1, body, tuple(qp) + tuple(qv)
+                )
+                qp, qv = list(carry[:nq]), list(carry[nq:])
+        qp_new, qv_new, o = step_lanes(qp, qv, ct)
+        write_outs(o, qp_new, qv_new, *out_refs)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # dispatch: custom_vmap core + lean Data assembly
 # ---------------------------------------------------------------------------
@@ -1053,7 +1129,9 @@ def _auto_block(m: Model) -> int:
     """Largest block whose live VMEM footprint fits comfortably."""
     nefc = _static_nefc(m)
     lanes_bytes = 4 * (
-        2 * nefc * m.nv  # J + Jc
+        # sparse solver: J lives as per-row support lanes (~nv/2 avg), not
+        # a dense (nefc, nv) stack
+        nefc * (m.nv // 2 + 1)
         + 10 * nefc  # D/aref/fl/eta/jar/force/...
         + m.nv * m.nv  # M
         + 36 * m.nbody  # composite inertias
@@ -1061,8 +1139,9 @@ def _auto_block(m: Model) -> int:
         + 20 * m.nbody  # frames/velocities
         + 12 * max(m.ncon, 1)
     )
-    # 256 measured fastest on the planner's B = Nsample+1 batches (512 wins
-    # on exact power-of-two batches but loses 25% to padding at 2049)
+    # 256 measured fastest on the planner's B = Nsample+1 batches at 2048
+    # and 8192 (512/384 within 5%, 1024 fails to compile); the per-block
+    # cost is issue-limited, not padding-limited
     budget = 8 * 1024 * 1024
     block = 256
     while block > 128 and lanes_bytes * block > budget:
@@ -1071,14 +1150,18 @@ def _auto_block(m: Model) -> int:
 
 
 def engine_enabled(m: Model | None = None) -> bool:
+    """Kernel path on TPU for ALL models, elliptic cones included.
+
+    (Round-1 disabled cone == 1 over NaNs seen in long Allegro rollouts;
+    after the zero-size-concatenate Mosaic fixes and the NaN-robust MPPI
+    softmax, a 100-step Nsample=2048 Allegro planner run on the real chip
+    stays finite, and the 200-step interpret-mode rollout parity test
+    (tests/test_engine_kernel.py) pins the cone zone logic.)
+    """
     mode = os.environ.get("DIAL_MPC_ENGINE", "auto")
     if mode == "pallas":
         return True
     if mode == "xla":
-        return False
-    if m is not None and m.opt.cone == 1:
-        # elliptic-cone models (Allegro) showed NaNs over long kernel
-        # rollouts (under investigation); default them to the XLA path
         return False
     return jax.default_backend() == "tpu"
 
@@ -1109,18 +1192,20 @@ def _out_specs(m: Model):
     ]
 
 
-def step_core_for(m: Model, block: int | None = None):
+def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
     """custom_vmap step core: (qpos, qvel, ctrl) -> tuple of outputs.
 
     Scalar calls run the XLA reference step; vmapped calls dispatch to the
-    lane-major mega-kernel.
+    lane-major mega-kernel. n_steps > 1 fuses that many substeps (constant
+    ctrl) into ONE kernel call — outputs come from the final substep,
+    matching n_steps sequential calls exactly.
     """
     if block is None:
         override = os.environ.get("DIAL_MPC_BLOCK")
         block = int(override) if override else _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
-           block)
+           block, n_steps)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1133,7 +1218,8 @@ def step_core_for(m: Model, block: int | None = None):
 
         d = mlib.make_data(m, dtype=qpos.dtype)
         d = drep(d, qpos=qpos, qvel=qvel, ctrl=ctrl)
-        d = xla_step(m, d)
+        for _ in range(n_steps):
+            d = xla_step(m, d)
         nbody1 = m.nbody - 1
         cdist = d.contact.dist if m.ncon else jnp.zeros(1, qpos.dtype)
         cpos = d.contact.pos if m.ncon else jnp.zeros((1, 3), qpos.dtype)
@@ -1157,7 +1243,10 @@ def step_core_for(m: Model, block: int | None = None):
             d.qacc,
         )
 
-    kernel, _, _ = _build_step_kernel(m, block)
+    if n_steps == 1:
+        kernel, _, _ = _build_step_kernel(m, block)
+    else:
+        kernel = _build_multistep_kernel(m, block, n_steps)
 
     def _pallas_batched(qpos, qvel, ctrl):
         B = qpos.shape[0]

@@ -40,44 +40,128 @@ def enabled() -> bool:
     return os.environ.get("DIAL_MPC_PALLAS", "1") != "0"
 
 
-def _chol_solve_lanes(H, g, n):
-    """Solve H x = g; H is a list-of-lists of (B,) lanes, g list of (B,)."""
+def _chol_solve_lanes(H, g, n, mask=None, perm=None):
+    """Solve H x = g; H is a list-of-lists of (B,) lanes, g list of (B,).
+
+    mask (optional): static bool[n][n] sparsity of H — ops on statically
+    zero entries are skipped entirely. perm (optional): static elimination
+    order (children-first for tree-structured mass matrices gives zero
+    fill-in); the factorization runs on P H P^T and the result is
+    un-permuted. Fill-in implied by the ordering is computed symbolically
+    at trace time and only those entries are materialized.
+    """
+    if perm is None:
+        perm = list(range(n))
+    if mask is None:
+        pat = [[True] * n for _ in range(n)]
+        A = [[H[perm[i]][perm[j]] for j in range(n)] for i in range(n)]
+    else:
+        # permuted pattern + symbolic fill
+        pat = [[bool(mask[perm[i]][perm[j]]) for j in range(n)] for i in range(n)]
+        for j in range(n):
+            below = [i for i in range(j + 1, n) if pat[i][j]]
+            for a in range(len(below)):
+                for b in range(a + 1, len(below)):
+                    pat[below[b]][below[a]] = True
+                    pat[below[a]][below[b]] = True
+        A = [
+            [
+                H[perm[i]][perm[j]] if mask[perm[i]][perm[j]] else None
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        s = H[j][j]
+        s = A[j][j]
         for k in range(j):
-            s = s - L[j][k] * L[j][k]
+            if pat[j][k]:
+                s = s - L[j][k] * L[j][k]
         d = jnp.sqrt(jnp.maximum(s, 1e-12))
         L[j][j] = d
         inv = 1.0 / d
         for i in range(j + 1, n):
-            s = H[i][j]
+            if not pat[i][j]:
+                continue
+            s = A[i][j]  # None for pure fill-in entries (implicit zero)
             for k in range(j):
-                s = s - L[i][k] * L[j][k]
+                if pat[i][k] and pat[j][k]:
+                    t = L[i][k] * L[j][k]
+                    s = -t if s is None else s - t
+            if s is None:
+                s = jnp.zeros_like(d)
             L[i][j] = s * inv
     y = []
+    gp = [g[perm[i]] for i in range(n)]
     for i in range(n):
-        s = g[i]
+        s = gp[i]
         for k in range(i):
-            s = s - L[i][k] * y[k]
+            if pat[i][k]:
+                s = s - L[i][k] * y[k]
         y.append(s / L[i][i])
-    x = [None] * n
+    xp = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+            if pat[k][i]:
+                s = s - L[k][i] * xp[k]
+        xp[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n):
+        x[perm[i]] = xp[i]
     return x
 
 
-def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
-                 iterations, ls_iterations, tolerance, groups, impratio):
-    """In-kernel batched Newton solve on lane-major values.
+def _is_z(e):
+    """Static structural-zero marker (python scalar 0.0)."""
+    return isinstance(e, (int, float)) and e == 0.0
 
-    J (nefc, nv, B), Jc (nv, nefc, B), vectors (n, B). Returns
-    (x (nv, B), qfrc (nv, B)). Shared by the standalone solver kernel and
-    the full-step engine kernel.
+
+def newton_solve_rows(rows_J, D, aref, fl, eta, Mrows, M_mask, qs, *, nv,
+                      iterations, ls_iterations, tolerance, groups, impratio):
+    """Sparse lane-level batched Newton solve.
+
+    rows_J: list[nefc] of list[nv] — (B,) lane arrays, or python 0.0 for
+    Jacobian entries that are statically zero (a contact row only touches
+    the colliding bodies' kinematic chains; a joint-limit row touches one
+    dof). D/aref/fl/eta: (nefc, B) stacked row quantities. Mrows: list[nv]
+    of list[nv] lanes (symmetric, entries outside M_mask unread), M_mask:
+    static bool[nv][nv] (None = dense). qs: list[nv] of (B,).
+
+    All sparsity is STATIC (from the model's kinematic tree and contact
+    pair table), so skipped entries cost nothing at runtime — the dense
+    reference (and MJX, solver.py:121-184) does the full nv^2 work per
+    iteration. The Cholesky eliminates children-first (reverse dof order),
+    which for tree-structured patterns factorizes with zero fill-in.
+    Returns (x list[nv], qfrc list[nv]) of (B,) lanes.
     """
+    nefc = len(rows_J)
+    sup = [[i for i in range(nv) if not _is_z(row[i])] for row in rows_J]
+    if M_mask is None:
+        M_mask = [[True] * nv for _ in range(nv)]
+    Hmask = [[bool(M_mask[i][j]) for j in range(nv)] for i in range(nv)]
+    for s_ in sup:
+        for a in range(len(s_)):
+            for b in range(a + 1):
+                Hmask[s_[a]][s_[b]] = True
+                Hmask[s_[b]][s_[a]] = True
+    # middle-zone rank-1 terms span the union of the group's row supports
+    gsup = {}
+    for (row0, dim) in groups:
+        u = sorted({i for r in range(row0, row0 + dim) for i in sup[r]})
+        gsup[(row0, dim)] = u
+        for a in range(len(u)):
+            for b in range(a + 1):
+                Hmask[u[a]][u[b]] = True
+                Hmask[u[b]][u[a]] = True
+    # (row, i<=j) -> rows contributing to H[i][j]
+    pair_rows = {}
+    for r, s_ in enumerate(sup):
+        for a in range(len(s_)):
+            for b in range(a + 1):
+                pair_rows.setdefault((s_[a], s_[b]), []).append(r)
+    perm = list(range(nv))[::-1]
+    zero = jnp.zeros_like(qs[0])
 
     def _set_rows(arr, row0, dim, new):
         # jnp's .at[slice].set lowers to lax.scatter, which Mosaic cannot
@@ -151,51 +235,99 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
             mids.append((k * middle, g, row0, dim))
         return force, cost, quad_w, mids
 
-    def matvec_M(v):  # (nv, B) -> (nv, B)
-        return jnp.stack([jnp.sum(M[i] * v, axis=0) for i in range(nv)], axis=0)
+    def matvec_M(v):  # list[nv] -> list[nv], static M sparsity honored
+        out = []
+        for i in range(nv):
+            acc = None
+            for j in range(nv):
+                if M_mask[i][j]:
+                    t = Mrows[i][j] * v[j]
+                    acc = t if acc is None else acc + t
+            out.append(zero if acc is None else acc)
+        return out
 
-    def J_apply(v):  # (nv, B) -> (nefc, B)
-        acc = J[:, 0, :] * v[0][None]
-        for j in range(1, nv):
-            acc = acc + J[:, j, :] * v[j][None]
-        return acc
+    def J_apply(v):  # list[nv] -> (nefc, B), only static supports touched
+        rows = []
+        for r in range(nefc):
+            acc = None
+            for i in sup[r]:
+                t = rows_J[r][i] * v[i]
+                acc = t if acc is None else acc + t
+            rows.append(zero if acc is None else acc)
+        return jnp.stack(rows, axis=0)
 
-    def JT_apply(w):  # (nefc, B) -> (nv, B)
-        return jnp.stack([jnp.sum(Jc[i] * w, axis=0) for i in range(nv)], axis=0)
+    def JT_apply(w):  # (nefc, B) -> list[nv]
+        acc = [None] * nv
+        for r in range(nefc):
+            wr = w[r]
+            for i in sup[r]:
+                t = rows_J[r][i] * wr
+                acc[i] = t if acc[i] is None else acc[i] + t
+        return [zero if a is None else a for a in acc]
 
-    def total_cost(x, jar):
-        dx = x - qs
-        gauss = 0.5 * jnp.sum(dx * matvec_M(dx), axis=0)
-        _, cost, _, _ = terms(jar)
-        return gauss + cost
+    def vsum(a, b):  # sum_i a[i]*b[i] over dof lists
+        s = a[0] * b[0]
+        for i in range(1, nv):
+            s = s + a[i] * b[i]
+        return s
 
-    x = qs
-    done = jnp.zeros(x.shape[-1], bool)
+    # Incremental iteration state: jar = J x - aref, dx = x - qs and
+    # Mdx = M dx are carried across iterations (jar_new = jar + alpha jv,
+    # Mdx_new = Mdx + alpha Mp), eliminating the J x / M dx recomputations
+    # the dense reference performs each iteration (solver.py:153-175).
+    x = list(qs)
+    dx = [zero] * nv
+    Mdx = [zero] * nv
+    jar = J_apply(x) - aref
+    done = jnp.zeros(qs[0].shape[-1], bool)
+
     for _ in range(iterations):
-        jar = J_apply(x) - aref
-        force, _, quad_w, mids = terms(jar)
-        grad = matvec_M(x - qs) - JT_apply(force)
-        Hrows = [
-            [
-                M[i, j] + jnp.sum((quad_w * Jc[i]) * Jc[j], axis=0)
-                for j in range(nv)
-            ]
-            for i in range(nv)
-        ]
-        for (k_mid, g, row0, dim) in mids:
-            v = [
-                sum(Jc[i][row0 + kk] * g[kk] for kk in range(dim))
-                for i in range(nv)
-            ]
-            for i in range(nv):
-                for j in range(nv):
-                    Hrows[i][j] = Hrows[i][j] + k_mid * v[i] * v[j]
-        p = _chol_solve_lanes(Hrows, [-grad[i] for i in range(nv)], nv)
-        p = jnp.stack(p, axis=0)  # (nv, B)
-        jv = J_apply(p)
+        force, cost_pen, quad_w, mids = terms(jar)
+        prev_cost = 0.5 * vsum(dx, Mdx) + cost_pen
+        jtf = JT_apply(force)
+        grad = [Mdx[i] - jtf[i] for i in range(nv)]
 
-        pMp = jnp.sum(p * matvec_M(p), axis=0)
-        pMx = jnp.sum(p * matvec_M(x - qs), axis=0)
+        # masked lower-triangle Hessian assembly: H = M + J^T diag(w) J
+        # plus middle-zone rank-1 terms, only on the static pattern
+        Hrows = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(i + 1):
+                acc = Mrows[i][j] if M_mask[i][j] else None
+                for r in pair_rows.get((i, j), ()):
+                    t = (quad_w[r] * rows_J[r][i]) * rows_J[r][j]
+                    acc = t if acc is None else acc + t
+                if acc is not None:
+                    Hrows[i][j] = acc
+                    Hrows[j][i] = acc
+                elif Hmask[i][j]:
+                    Hrows[i][j] = zero
+                    Hrows[j][i] = zero
+        for (k_mid, g, row0, dim) in mids:
+            u = gsup[(row0, dim)]
+            v = {}
+            for i in u:
+                acc = None
+                for kk in range(dim):
+                    e = rows_J[row0 + kk][i]
+                    if _is_z(e):
+                        continue
+                    t = e * g[kk]
+                    acc = t if acc is None else acc + t
+                v[i] = zero if acc is None else acc
+            for a in range(len(u)):
+                for b in range(a + 1):
+                    i, j = u[a], u[b]
+                    h = Hrows[i][j] + k_mid * v[i] * v[j]
+                    Hrows[i][j] = h
+                    Hrows[j][i] = h
+
+        p = _chol_solve_lanes(
+            Hrows, [-grad[i] for i in range(nv)], nv, mask=Hmask, perm=perm
+        )
+        jv = J_apply(p)
+        Mp = matvec_M(p)
+        pMp = vsum(p, Mp)
+        pMx = vsum(p, Mdx)
 
         def dphi_ddphi(alpha):
             jar_a = jar + alpha * jv
@@ -213,17 +345,38 @@ def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
             dp, ddp = dphi_ddphi(alpha)
             alpha = alpha - dp / jnp.maximum(ddp, 1e-30)
 
-        x_new = x + alpha[None] * p
-        prev_cost = total_cost(x, jar)
-        new_cost = total_cost(x_new, J_apply(x_new) - aref)
+        jar_new = jar + alpha[None] * jv
+        _, cost_new_pen, _, _ = terms(jar_new)
+        dx_new = [dx[i] + alpha * p[i] for i in range(nv)]
+        Mdx_new = [Mdx[i] + alpha * Mp[i] for i in range(nv)]
+        new_cost = 0.5 * vsum(dx_new, Mdx_new) + cost_new_pen
+
         improved = (prev_cost - new_cost) > tolerance * jnp.maximum(prev_cost, 1.0)
         take = jnp.logical_and(jnp.logical_not(done), new_cost < prev_cost)
-        x = jnp.where(take[None], x_new, x)
+        x = [jnp.where(take, x[i] + alpha * p[i], x[i]) for i in range(nv)]
+        dx = [jnp.where(take, dx_new[i], dx[i]) for i in range(nv)]
+        Mdx = [jnp.where(take, Mdx_new[i], Mdx[i]) for i in range(nv)]
+        jar = jnp.where(take[None], jar_new, jar)
         done = jnp.logical_or(done, jnp.logical_not(improved))
 
-    jar = J_apply(x) - aref
     force, _, _, _ = terms(jar)
     return x, JT_apply(force)
+
+
+def newton_solve(J, Jc, D, aref, fl, eta, M, qs, *, nv, nefc,
+                 iterations, ls_iterations, tolerance, groups, impratio):
+    """Dense-array adapter (standalone solver kernel): J (nefc, nv, B),
+    Jc (nv, nefc, B), M (nv, nv, B), vectors (n, B) -> ((nv, B), (nv, B)).
+    """
+    rows_J = [[J[r, i] for i in range(nv)] for r in range(nefc)]
+    Mrows = [[M[i, j] for j in range(nv)] for i in range(nv)]
+    qs_l = [qs[i] for i in range(nv)]
+    x, f = newton_solve_rows(
+        rows_J, D, aref, fl, eta, Mrows, None, qs_l,
+        nv=nv, iterations=iterations, ls_iterations=ls_iterations,
+        tolerance=tolerance, groups=groups, impratio=impratio,
+    )
+    return jnp.stack(x, axis=0), jnp.stack(f, axis=0)
 
 
 def _make_kernel(nv, nefc, iterations, ls_iterations, tolerance, groups, impratio):

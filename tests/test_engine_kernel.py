@@ -157,3 +157,32 @@ def test_elliptic_long_rollout_parity():
     np.testing.assert_allclose(
         np.asarray(qp_k), np.asarray(d_x.qpos), atol=1e-6, rtol=1e-6
     )
+
+
+def test_fused_multistep_matches_sequential():
+    """n_steps-fused kernel (in-kernel fori_loop, VMEM carry) must match
+    n_steps sequential single-step kernel calls on every output — the
+    fused path is what pipeline_step runs on TPU (n_frames substeps per
+    env step). Tolerance (not bitwise): compiling the step body inside a
+    fori_loop permits different reassociation (measured ~2e-9 at f64)."""
+    scene = "unitree_go2/mjx_scene_force.xml"
+    mj, m, dB, step_b = _contact_rich_batch(scene, seed=4)
+    rng = np.random.default_rng(5)
+    ctrl = jnp.asarray(_random_ctrl(mj, rng, (B,)))
+    n_steps = 2
+
+    core1 = engine_pallas.step_core_for(m, block=BLOCK)
+    coreN = engine_pallas.step_core_for(m, block=BLOCK, n_steps=n_steps)
+    f1 = jax.jit(jax.vmap(core1))
+    fN = jax.jit(jax.vmap(coreN))
+
+    qp, qv = dB.qpos, dB.qvel
+    for _ in range(n_steps):
+        o = f1(qp, qv, ctrl)
+        qp, qv = o[0], o[1]
+    oN = fN(dB.qpos, dB.qvel, ctrl)
+    for i, (seq, fused) in enumerate(zip(o, oN)):
+        np.testing.assert_allclose(
+            np.asarray(seq), np.asarray(fused), atol=1e-7, rtol=1e-7,
+            err_msg=f"fused output {i} != sequential",
+        )
