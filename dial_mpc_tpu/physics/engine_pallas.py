@@ -1126,7 +1126,17 @@ def _static_nefc(m: Model) -> int:
 
 
 def _auto_block(m: Model) -> int:
-    """Largest block whose live VMEM footprint fits comfortably."""
+    """Largest block whose live VMEM footprint fits the 16M scoped limit.
+
+    The liveness estimate below under-counts Mosaic's scheduled
+    allocation by ~3x (calibrated against a measured OOM: Allegro at
+    block 256 allocates 80 KB/lane vs the ~19 KB estimate, Go2 at 512
+    compiles so its true footprint is <= 31 KB/lane vs ~10 KB estimated);
+    the factor-3 x 14M budget puts Go2/H1 at 256 and the contact-heavy
+    crate scenes + Allegro (8-iteration elliptic solve) at 128 — matching
+    what compiles and what measured fastest. Block-size sensitivity is
+    small anyway (256 vs 384 vs 512 within 5% at Nsample 2048-8192).
+    """
     nefc = _static_nefc(m)
     lanes_bytes = 4 * (
         # sparse solver: J lives as per-row support lanes (~nv/2 avg), not
@@ -1138,13 +1148,10 @@ def _auto_block(m: Model) -> int:
         + 40 * m.nv  # cdof/cdof_dot/vectors
         + 20 * m.nbody  # frames/velocities
         + 12 * max(m.ncon, 1)
-    )
-    # 256 measured fastest on the planner's B = Nsample+1 batches at 2048
-    # and 8192 (512/384 within 5%, 1024 fails to compile); the per-block
-    # cost is issue-limited, not padding-limited
-    budget = 8 * 1024 * 1024
+    ) * 3
+    budget = 14 * 1024 * 1024
     block = 256
-    while block > 128 and lanes_bytes * block > budget:
+    while block > 64 and lanes_bytes * block > budget:
         block //= 2
     return block
 
