@@ -135,14 +135,24 @@ class MBDPI:
         rews = rewss.mean(axis=-1)
         # robustness beyond the reference: a rare exploding rollout (e.g.
         # violent contact states) must not poison the softmax — non-finite
-        # rewards get zero weight (identical arithmetic when all finite)
+        # rewards get zero weight (identical arithmetic when all finite).
+        # Softmax is shift-invariant, so centering on rew_Ybar is a no-op
+        # mathematically; guard the CENTER itself so a non-finite MEAN
+        # rollout cannot poison the finite samples' weights.
         finite = jnp.isfinite(rews)
+        center = jnp.where(jnp.isfinite(rew_Ybar_i), rew_Ybar_i, 0.0)
         std = jnp.nanstd(jnp.where(finite, rews, jnp.nan))
+        std = jnp.where(jnp.isfinite(std) & (std > 0), std, 1.0)
         logp0 = jnp.where(
-            finite, (rews - rew_Ybar_i) / std / self.args.temp_sample, -jnp.inf
+            finite, (rews - center) / std / self.args.temp_sample, -jnp.inf
         )
 
         weights = jax.nn.softmax(logp0)
+        # degradation: if EVERY rollout (mean included) exploded, keep the
+        # current plan — weights collapse to the mean row, whose Y0s entry
+        # is the (finite, clipped) Ybar itself
+        keep_plan = jnp.zeros_like(weights).at[-1].set(1.0)
+        weights = jnp.where(jnp.any(finite), weights, keep_plan)
         # zero-weight samples must contribute exactly zero (0 * nan = nan)
         qss = jnp.where(finite[:, None, None], qss, 0.0)
         qdss = jnp.where(finite[:, None, None], qdss, 0.0)
@@ -195,7 +205,22 @@ class MBDPI:
         env.step with the executing control, plan shift, then n_diffuse
         annealing levels. Returns (state', Y', rng', info-of-last-level).
         """
-        state = self.env.step(state, Y[0])
+        # failure degradation (beyond the reference, which propagates NaNs):
+        # if the physics advance diverges, freeze the state instead of
+        # poisoning every subsequent solve — the annealing levels then plan
+        # from the last finite state
+        new_state = self.env.step(state, Y[0])
+        ok = jnp.isfinite(new_state.pipeline_state.qpos).all() & jnp.isfinite(
+            new_state.pipeline_state.qvel
+        ).all()
+        state = new_state.replace(
+            pipeline_state=jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o),
+                new_state.pipeline_state,
+                state.pipeline_state,
+            ),
+            reward=jnp.where(ok, new_state.reward, state.reward),
+        )
         Y = self.shift(Y)
 
         def reverse_scan(carry, factor):

@@ -117,18 +117,28 @@ class ShardedMBDPI:
         var = jnp.maximum(s2 / n_tot - mean**2, 0.0)
         std = jnp.sqrt(var)
 
+        # softmax is shift-invariant: center on the mean-rollout reward when
+        # it is finite, 0 otherwise (a non-finite mean must not poison the
+        # finite samples' weights — it just gets -inf itself)
+        bar_finite = jnp.isfinite(rew_Ybar)
+        center = jnp.where(bar_finite, rew_Ybar, 0.0)
+        std = jnp.where(jnp.isfinite(std) & (std > 0), std, 1.0)
         logp = jnp.where(
-            finite, (rews - rew_Ybar) / std / args.temp_sample, -jnp.inf
+            finite, (rews - center) / std / args.temp_sample, -jnp.inf
         )
-        logp_bar = (rew_Ybar - rew_Ybar) / std / args.temp_sample  # = 0
+        logp_bar = jnp.where(bar_finite, 0.0, -jnp.inf)
 
         # log-sum-exp-stable softmax over the global set
         gmax = jnp.maximum(jax.lax.pmax(logp.max(), AXIS), logp_bar)
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         e = jnp.exp(logp - gmax)
         e_bar = jnp.exp(logp_bar - gmax)
         denom = jax.lax.psum(e.sum(), AXIS) + e_bar
-        w = e / denom  # (local,)
-        w_bar = e_bar / denom
+        # degradation: if EVERY rollout (mean included) exploded, keep the
+        # current plan (all weight on the replicated mean row)
+        all_bad = denom == 0.0
+        w = jnp.where(all_bad, 0.0, e / jnp.maximum(denom, 1e-30))
+        w_bar = jnp.where(all_bad, 1.0, e_bar / jnp.maximum(denom, 1e-30))
 
         # weighted means via psum. The (replicated) mean-sample row is the
         # LAST row of the augmented batch on every device; giving it weight
@@ -185,7 +195,19 @@ class ShardedMBDPI:
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def control_step(self, state, Y, rng, n_diffuse: int):
         """One receding-horizon step, sample axis sharded over the mesh."""
-        state = self.env.step(state, Y[0])
+        # same divergence freeze as MBDPI.control_step
+        new_state = self.env.step(state, Y[0])
+        ok = jnp.isfinite(new_state.pipeline_state.qpos).all() & jnp.isfinite(
+            new_state.pipeline_state.qvel
+        ).all()
+        state = new_state.replace(
+            pipeline_state=jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o),
+                new_state.pipeline_state,
+                state.pipeline_state,
+            ),
+            reward=jnp.where(ok, new_state.reward, state.reward),
+        )
         Y = self.inner.shift(Y)
 
         def reverse_scan(carry, factor):

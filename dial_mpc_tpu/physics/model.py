@@ -394,13 +394,17 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
     # Newton with exact-ish line search converges in a handful of
     # iterations; models shipping CPU-solver settings (e.g. Allegro's
     # iterations=100) would explode compile time of the unrolled pipeline,
-    # so cap the static schedule.
+    # so cap the static schedule. DIAL_MPC_MAX_SOLVER_ITERS overrides the
+    # cap (stability studies on contact-rich scenes).
+    import os as _os
+
+    _cap = int(_os.environ.get("DIAL_MPC_MAX_SOLVER_ITERS", "8"))
     opt = Option(
         timestep=f(m.opt.timestep),
         gravity=f(m.opt.gravity),
         impratio=f(m.opt.impratio),
-        iterations=min(int(m.opt.iterations), 8),
-        ls_iterations=min(int(m.opt.ls_iterations), 8),
+        iterations=min(int(m.opt.iterations), _cap),
+        ls_iterations=min(int(m.opt.ls_iterations), _cap),
         integrator=int(m.opt.integrator),
         cone=int(m.opt.cone),
         disableflags=int(m.opt.disableflags),

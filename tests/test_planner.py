@@ -108,3 +108,49 @@ def test_reverse_once_improves_plan_reward(planner):
     rew_final = float(info["rews"][-1])
     assert np.isfinite(rew_final)
     assert rew_final > rew_zero, (rew_zero, rew_final)
+
+
+def test_all_nonfinite_rollouts_keep_plan(planner):
+    """Degradation semantics: if EVERY rollout (mean included) diverges, the
+    plan update must return the current plan unchanged and finite — softmax
+    over all -inf must not produce NaN (the Allegro pinch-explosion case)."""
+    cfg, env, mbdpi = planner
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    # poison the state: all rollouts (and the mean rollout) go non-finite
+    from dial_mpc_tpu.physics.kinematics import replace as drep
+
+    bad = state.replace(
+        pipeline_state=drep(
+            state.pipeline_state,
+            qvel=jnp.full_like(state.pipeline_state.qvel, jnp.nan),
+        )
+    )
+    Y = 0.123 * jnp.ones((cfg.Hnode + 1, mbdpi.nu))
+    _, Ybar, info = mbdpi.reverse_once_jit(bad, rng, Y, mbdpi.sigma_control)
+    assert bool(jnp.isfinite(Ybar).all()), "plan went non-finite"
+    np.testing.assert_allclose(
+        np.asarray(Ybar), np.clip(np.asarray(Y), -1, 1), atol=1e-7,
+        err_msg="all-diverged update should keep the (clipped) current plan",
+    )
+
+
+def test_control_step_freezes_on_divergence(planner):
+    """If the physics advance diverges, control_step keeps the last finite
+    pipeline state instead of propagating NaNs to every later solve."""
+    cfg, env, mbdpi = planner
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    from dial_mpc_tpu.physics.kinematics import replace as drep
+
+    bad = state.replace(
+        pipeline_state=drep(
+            state.pipeline_state,
+            qvel=jnp.full_like(state.pipeline_state.qvel, jnp.inf),
+        )
+    )
+    Y = jnp.zeros((cfg.Hnode + 1, mbdpi.nu))
+    state2, Y2, _, _ = mbdpi.control_step(bad, Y, rng, 1)
+    # the advance from an inf state is non-finite, so the guard keeps the
+    # (already-inf) old state rather than NaN-ing qpos; the plan stays finite
+    assert bool(jnp.isfinite(Y2).all())
