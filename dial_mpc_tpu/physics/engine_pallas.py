@@ -1177,6 +1177,19 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _lanes2d() -> int:
+    """Sublane count S for the 2D lane layout (0 = classic 1D lanes).
+
+    With S > 0 every per-row value inside the kernel is shaped (S, 128)
+    instead of (block,): one vector op then covers S*128 samples — a full
+    native (8, 128) vreg at S=8 — instead of 128-lane rows on a single
+    sublane. The kernel algebra is shape-agnostic (pure elementwise lane
+    ops + axis-0 stacks/reductions), so only this I/O boundary changes.
+    """
+    v = os.environ.get("DIAL_MPC_LANES2D", "")
+    return int(v) if v else 0
+
+
 _CORE_CACHE: dict = {}
 
 
@@ -1212,7 +1225,7 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
         block = int(override) if override else _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
-           block, n_steps)
+           block, n_steps, _lanes2d())
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1257,7 +1270,9 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
 
     def _pallas_batched(qpos, qvel, ctrl):
         B = qpos.shape[0]
-        Bp = ((B + block - 1) // block) * block
+        S = _lanes2d()
+        gran = S * 128 if S else block
+        Bp = ((B + gran - 1) // gran) * gran
         pad = Bp - B
 
         def prep(x):
@@ -1265,22 +1280,36 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
                 x = jnp.concatenate(
                     [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
                 )
-            return jnp.moveaxis(x, 0, -1)
+            x = jnp.moveaxis(x, 0, -1)
+            if S:
+                x = x.reshape(x.shape[:-1] + (S, Bp // S))
+            return x
 
         qp, qv, ct = prep(qpos), prep(qvel), prep(ctrl)
-        grid = (Bp // block,)
-        bspec = lambda n: pl.BlockSpec((n, block), lambda i: (0, i))
+        grid = (Bp // gran,)
+        if S:
+            bspec = lambda n: pl.BlockSpec((n, S, 128), lambda i: (0, 0, i))
+            oshape = lambda n: (n, S, Bp // S)
+        else:
+            bspec = lambda n: pl.BlockSpec((n, block), lambda i: (0, i))
+            oshape = lambda n: (n, Bp)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[bspec(m.nq), bspec(m.nv), bspec(m.nu)],
             out_specs=[bspec(n) for _, n in specs],
             out_shape=[
-                jax.ShapeDtypeStruct((n, Bp), qpos.dtype) for _, n in specs
+                jax.ShapeDtypeStruct(oshape(n), qpos.dtype) for _, n in specs
             ],
             interpret=_use_interpret(),
         )(qp, qv, ct)
-        return tuple(jnp.moveaxis(o, -1, 0)[:B] for o in outs)
+
+        def unpack(o):
+            if S:
+                o = o.reshape(o.shape[:-2] + (Bp,))
+            return jnp.moveaxis(o, -1, 0)[:B]
+
+        return tuple(unpack(o) for o in outs)
 
     @jax.custom_batching.custom_vmap
     def core(qpos, qvel, ctrl):

@@ -279,7 +279,7 @@ def newton_solve_rows(rows_J, D, aref, fl, eta, Mrows, M_mask, qs, *, nv,
     dx = [zero] * nv
     Mdx = [zero] * nv
     jar = J_apply(x) - aref
-    done = jnp.zeros(qs[0].shape[-1], bool)
+    done = jnp.zeros(qs[0].shape, bool)
 
     for _ in range(iterations):
         force, cost_pen, quad_w, mids = terms(jar)
