@@ -1190,6 +1190,14 @@ def _lanes2d() -> int:
     return int(v) if v else 0
 
 
+def _lane_w() -> int:
+    """Lane width of the 2D layout. 128 (the hardware vreg width) on TPU;
+    tests override it smaller so interpret-mode parity runs don't pad tiny
+    batches up to S*128 samples."""
+    v = os.environ.get("DIAL_MPC_LANE_W", "")
+    return int(v) if v else 128
+
+
 _CORE_CACHE: dict = {}
 
 
@@ -1225,7 +1233,7 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
         block = int(override) if override else _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
-           block, n_steps, _lanes2d())
+           block, n_steps, _lanes2d(), _lane_w())
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1271,7 +1279,8 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
     def _pallas_batched(qpos, qvel, ctrl):
         B = qpos.shape[0]
         S = _lanes2d()
-        gran = S * 128 if S else block
+        W = _lane_w()
+        gran = S * W if S else block
         Bp = ((B + gran - 1) // gran) * gran
         pad = Bp - B
 
@@ -1288,7 +1297,7 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
         qp, qv, ct = prep(qpos), prep(qvel), prep(ctrl)
         grid = (Bp // gran,)
         if S:
-            bspec = lambda n: pl.BlockSpec((n, S, 128), lambda i: (0, 0, i))
+            bspec = lambda n: pl.BlockSpec((n, S, W), lambda i: (0, 0, i))
             oshape = lambda n: (n, S, Bp // S)
         else:
             bspec = lambda n: pl.BlockSpec((n, block), lambda i: (0, i))
