@@ -150,7 +150,9 @@ class MBDPublisher:
             qvel=jnp.asarray(qd, jnp.float32),
         )
         info = dict(state.info)
-        info["step"] = int(t / self.ctrl_dt)
+        # int32 *array*, not a Python int: env info pytrees keep stable leaf
+        # types (weak-typed scalars change the aval and retrace _plan_warm)
+        info["step"] = jnp.asarray(int(t / self.ctrl_dt), jnp.int32)
         return state.replace(pipeline_state=d, info=info)
 
     # -- host loop ----------------------------------------------------------
@@ -186,13 +188,14 @@ class MBDPublisher:
                 self.Y = self.Y * 0.0
                 shift_time = 0.0
 
-            plan_fn = self._plan_init if first_time else self._plan_warm
-            if first_time and verbose:
+            is_first = first_time
+            first_time = False
+            plan_fn = self._plan_init if is_first else self._plan_warm
+            if is_first and verbose:
                 print("Compiling DIAL-MPC solve")
             self.Y, self.rng, joint_targets, taus, x_targets = plan_fn(
                 state, self.Y, self.rng, jnp.float32(shift_time)
             )
-            first_time = False
 
             # one batched host transfer for everything the bus needs
             # (Y/rng stay on device for the next tick)
@@ -208,7 +211,9 @@ class MBDPublisher:
             iters += 1
             if self.checkpoint_path and iters % 250 == 0:
                 self.save_checkpoint()
-            if not first_time:
+            if not is_first:
+                # steady-state ticks only: the first tick carries the
+                # 30s-10min device compile and would poison p99/max
                 latency.add(time.time() - t0)
             if time.time() - t0 > self.ctrl_dt and verbose:
                 print(f"[WARN] real overtime {(time.time() - t0) * 1000:.1f} ms")

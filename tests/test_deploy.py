@@ -73,6 +73,46 @@ def test_publisher_sharded_mesh():
         bus.close()
 
 
+def test_publisher_no_retrace_and_steady_state_latency():
+    """The warm-plan program compiles exactly once across ticks, and the
+    latency histogram holds only steady-state ticks (the first tick carries
+    the device compile and must be excluded)."""
+    import dial_mpc_tpu.envs as dial_envs
+    from dial_mpc_tpu.core.dial_config import DialConfig
+    from dial_mpc_tpu.deploy.planner_proc import MBDPublisher
+
+    dial_cfg = DialConfig(
+        env_name="unitree_go2_walk",
+        Nsample=8,
+        Hsample=16,
+        Hnode=4,
+        Ndiffuse=1,
+        Ndiffuse_init=2,
+    )
+    env_cfg = dial_envs.get_config(dial_cfg.env_name)(kd=0.0)
+    env = dial_envs.get_environment(dial_cfg.env_name, env_cfg)
+    nx = env.mj_model.nq + env.mj_model.nv
+    bus = ShmBus(nx=nx, nu=env.mj_model.nu, n_acts=17, create=True)
+    try:
+        bus.state[: env.mj_model.nq] = env.mj_model.keyframe("home").qpos
+        # advance the static clock between ticks so update_state sees
+        # distinct (but type-stable) step values
+        pub = MBDPublisher(env, env_cfg, dial_cfg)
+        try:
+            n_iters = 4
+            pub.main_loop(max_iters=n_iters, verbose=False)
+            assert pub._plan_warm._cache_size() == 1, (
+                "warm plan retraced: info pytree leaf types are unstable"
+            )
+            assert pub.last_latency["n"] == n_iters - 1, (
+                "latency histogram must exclude exactly the compile tick"
+            )
+        finally:
+            pub.close()
+    finally:
+        bus.close()
+
+
 SIM_SCRIPT = """
 import sys; sys.path.insert(0, {repo!r})
 from dial_mpc_tpu.deploy.sim_server import DialSim, DialSimConfig
