@@ -1,93 +1,155 @@
-"""Benchmark: Go2 trot DIAL-MPC solve rate on the available accelerator.
+"""Benchmark: DIAL-MPC solve rates on the available accelerator.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
+Prints one JSON line per benchmarked config (last line = the north-star
+metric BASELINE.md is judged on):
 
-Baseline: the reference runs Nsample=2048, Ndiffuse=2 at a 50 Hz control
-budget on a CUDA GPU (reference configs: examples/unitree_go2_trot.yaml,
-dt: 0.02). vs_baseline is solve_hz / 50.
+  1. Go2 trot @ Nsample=2048, Ndiffuse=2 — the reference's sync config
+     (examples/unitree_go2_trot.yaml), kept for round-over-round history.
+  2. Go2 seq-jump @ Nsample=8192, Ndiffuse=1 — the north-star deploy
+     solve (BASELINE.md: >= 50 Hz at >= 8k samples;
+     examples/unitree_go2_seq_jump_deploy.yaml shapes).
+
+Each metric runs N_TRIALS independent timed trials and reports the
+median; "spread" is the min-max across trials (the remote-TPU tunnel has
+been observed to add +/-15% single-trial noise). vs_baseline is
+median_hz / 50 (the reference's 50 Hz control budget on a CUDA GPU).
+
+All timings are device_get-synchronized (block_until_ready under-blocks
+through the remote-TPU tunnel) with one measured transfer subtracted;
+dispatch overlaps device compute, so the pipelined number approximates
+pure device throughput — what a co-located deploy host sees.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NSAMPLE = 2048
-NDIFFUSE = 2
 BASELINE_HZ = 50.0
+N_TRIALS = 5
+N_TIMED = 20
 
 
-def main():
+def _kernel_config():
+    """The engine/layout knobs this run actually used (for the record)."""
+    from dial_mpc_tpu.physics import engine_pallas as ep
+
+    return {
+        "backend": jax.default_backend(),
+        "engine": "pallas" if ep.engine_enabled() else "xla",
+        "block": os.environ.get("DIAL_MPC_BLOCK", "auto"),
+        "lanes2d": os.environ.get("DIAL_MPC_LANES2D", "auto"),
+        "lane_w": os.environ.get("DIAL_MPC_LANE_W", "128"),
+    }
+
+
+def measure(dial_cfg, env_cfg, n_trials=N_TRIALS, n_timed=N_TIMED):
+    """Median pipelined/blocked solve Hz over n_trials independent trials."""
     import dial_mpc_tpu.envs as dial_envs
-    from dial_mpc_tpu.core.dial_config import DialConfig
     from dial_mpc_tpu.core.dial_core import MBDPI
 
-    cfg = DialConfig(
-        env_name="unitree_go2_walk",
-        Nsample=NSAMPLE,
-        Hsample=16,
-        Hnode=4,
-        Ndiffuse=NDIFFUSE,
-        temp_sample=0.05,
-    )
-    env_cfg_cls = dial_envs.get_config(cfg.env_name)
-    env = dial_envs.get_environment(cfg.env_name, env_cfg_cls(kd=0.0, default_vx=0.8, ramp_up_time=1.0))
-    mbdpi = MBDPI(cfg, env)
-
-    import numpy as np
+    env = dial_envs.get_environment(dial_cfg.env_name, env_cfg)
+    mbdpi = MBDPI(dial_cfg, env)
+    nd = dial_cfg.Ndiffuse
 
     rng = jax.random.PRNGKey(0)
     state = jax.jit(env.reset)(jax.random.PRNGKey(1))
-    Y = jnp.zeros((cfg.Hnode + 1, mbdpi.nu), dtype=jnp.float32)
+    Y = jnp.zeros((dial_cfg.Hnode + 1, mbdpi.nu), dtype=jnp.float32)
 
-    # warmup (compile both programs)
-    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    # warmup (compile both programs, settle caches)
+    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, nd)
     np.asarray(Y)
-    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    state, Y, rng, _ = mbdpi.control_step(state, Y, rng, nd)
     np.asarray(Y)
 
-    # one host<->device transfer, measured so it can be subtracted
-    t0 = time.perf_counter()
-    np.asarray(Y)
-    xfer_s = time.perf_counter() - t0
-
-    n_timed = 20
-
-    # pipelined: issue n_timed dispatches, fetch the final plan. The fetch
-    # (device_get) is the synchronization point — block_until_ready has been
-    # observed to under-block through the remote-TPU tunnel — and one
-    # measured transfer is subtracted. Dispatch overlaps device compute, so
-    # this approximates pure device throughput (what a co-located deploy
-    # host would see).
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
-    np.asarray(Y)
-    pipelined_hz = n_timed / max(time.perf_counter() - t0 - xfer_s, 1e-9)
-
-    # blocked: full host<->device round trip per step (inflated by the
-    # ~10-30 ms/step tunnel transfer when the TPU is remote; honest on
-    # co-located hardware).
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        state, Y, rng, _ = mbdpi.control_step(state, Y, rng, NDIFFUSE)
+    pipelined, blocked = [], []
+    for _ in range(n_trials):
+        # one host<->device transfer, measured so it can be subtracted
+        t0 = time.perf_counter()
         np.asarray(Y)
-    blocked_hz = n_timed / (time.perf_counter() - t0)
+        xfer_s = time.perf_counter() - t0
 
-    print(
-        json.dumps(
-            {
-                "metric": f"go2_trot_solve_hz_nsample{NSAMPLE}_ndiffuse{NDIFFUSE}",
-                "value": round(pipelined_hz, 2),
-                "unit": "Hz",
-                "vs_baseline": round(pipelined_hz / BASELINE_HZ, 3),
-                "method": "pipelined (20 dispatches, device_get sync, one transfer subtracted)",
-                "blocked_hz": round(blocked_hz, 2),
-                "blocked_method": "device_get per step (includes per-step host round trip)",
-            }
-        )
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            state, Y, rng, _ = mbdpi.control_step(state, Y, rng, nd)
+        np.asarray(Y)
+        pipelined.append(n_timed / max(time.perf_counter() - t0 - xfer_s, 1e-9))
+
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            state, Y, rng, _ = mbdpi.control_step(state, Y, rng, nd)
+            np.asarray(Y)
+        blocked.append(n_timed / (time.perf_counter() - t0))
+
+    assert bool(np.isfinite(np.asarray(Y)).all()), "solve diverged during bench"
+    return pipelined, blocked
+
+
+def _report(metric, pipelined, blocked, extra=None):
+    med = float(np.median(pipelined))
+    line = {
+        "metric": metric,
+        "value": round(med, 2),
+        "unit": "Hz",
+        "vs_baseline": round(med / BASELINE_HZ, 3),
+        "trials": len(pipelined),
+        "spread_hz": [round(min(pipelined), 2), round(max(pipelined), 2)],
+        "blocked_hz": round(float(np.median(blocked)), 2),
+        "method": (
+            f"median of {len(pipelined)} trials x {N_TIMED} pipelined dispatches, "
+            "device_get sync, one transfer subtracted; blocked_hz = per-step "
+            "device_get round trip"
+        ),
+        "config": _kernel_config(),
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line))
+
+
+def main():
+    import dataclasses
+
+    import yaml
+
+    import dial_mpc_tpu.envs as dial_envs
+    from dial_mpc_tpu.core.dial_config import DialConfig
+    from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
+
+    # 1. history metric: Go2 trot sync config
+    trot = DialConfig(
+        env_name="unitree_go2_walk",
+        Nsample=2048,
+        Hsample=16,
+        Hnode=4,
+        Ndiffuse=2,
+        temp_sample=0.05,
+    )
+    trot_env_cfg = dial_envs.get_config(trot.env_name)(
+        kd=0.0, default_vx=0.8, ramp_up_time=1.0
+    )
+    p, b = measure(trot, trot_env_cfg)
+    _report("go2_trot_solve_hz_nsample2048_ndiffuse2", p, b)
+
+    # 2. north-star metric (BASELINE.md): the seq-jump deploy solve
+    #    (shipped YAML shapes: Hsample=20, Hnode=5, Ndiffuse=1) at 8k samples
+    with open(get_example_path("unitree_go2_seq_jump_deploy.yaml")) as f:
+        cfg_dict = yaml.safe_load(f)
+    seq = dataclasses.replace(
+        load_dataclass_from_dict(DialConfig, cfg_dict), Nsample=8192
+    )
+    seq_env_cfg = load_dataclass_from_dict(
+        dial_envs.get_config(seq.env_name), cfg_dict, convert_list_to_array=True
+    )
+    p, b = measure(seq, seq_env_cfg)
+    _report(
+        "go2_seq_jump_solve_hz_nsample8192_ndiffuse1",
+        p,
+        b,
+        extra={"baseline": "BASELINE.md north star: >= 50 Hz at >= 8k samples"},
     )
 
 

@@ -1180,22 +1180,55 @@ def _use_interpret() -> bool:
 def _lanes2d() -> int:
     """Sublane count S for the 2D lane layout (0 = classic 1D lanes).
 
-    With S > 0 every per-row value inside the kernel is shaped (S, 128)
-    instead of (block,): one vector op then covers S*128 samples — a full
-    native (8, 128) vreg at S=8 — instead of 128-lane rows on a single
-    sublane. The kernel algebra is shape-agnostic (pure elementwise lane
-    ops + axis-0 stacks/reductions), so only this I/O boundary changes.
+    With S > 0 every per-row value inside the kernel is shaped (S, W)
+    instead of (block,): one vector op then covers S*W samples — a full
+    native (8, 128) vreg at S=8, W=128 — instead of 128-lane rows on a
+    single sublane. The kernel algebra is shape-agnostic (pure elementwise
+    lane ops + axis-0 stacks/reductions), so only this I/O boundary
+    changes. Set via DIAL_MPC_LANES2D.
     """
     v = os.environ.get("DIAL_MPC_LANES2D", "")
-    return int(v) if v else 0
+    if not v:
+        return -1  # unset: resolved per-model by _resolve_lanes()
+    s = int(v)
+    if s < 0:
+        raise ValueError(f"DIAL_MPC_LANES2D must be >= 0, got {s}")
+    return s
+
+
+def _resolve_lanes(m: Model) -> int:
+    """Effective sublane count S for this model.
+
+    Explicit DIAL_MPC_LANES2D always wins. Otherwise the 2-D (8, 128)
+    layout is the TPU default: measured 2.9-4.1x faster than the 1-D
+    layout on the Go2 solve (251.7 vs 86.4 Hz @ Nsample=2048, 156.0 vs
+    37.9 Hz @ 8192, v5e chip) — one vector op covers a full native vreg
+    of 1024 samples instead of a 128-lane row, attacking the per-op
+    issue floor the 1-D layout is bound by. Interpret mode (CPU tests)
+    keeps the 1-D default so the pinned suites cover both layouts
+    (tests/test_engine_kernel.py runs 2-D explicitly via the env vars).
+    """
+    s = _lanes2d()
+    if s >= 0:
+        return s
+    return 0 if _use_interpret() else 8
 
 
 def _lane_w() -> int:
-    """Lane width of the 2D layout. 128 (the hardware vreg width) on TPU;
-    tests override it smaller so interpret-mode parity runs don't pad tiny
-    batches up to S*128 samples."""
+    """Lane width W of the 2D layout (DIAL_MPC_LANE_W, default 128 — the
+    hardware vreg width). Tests override it smaller so interpret-mode
+    parity runs don't pad tiny batches up to S*128 samples; on a real TPU
+    W must stay a multiple of 128 or the minor-dim tile is misaligned."""
     v = os.environ.get("DIAL_MPC_LANE_W", "")
-    return int(v) if v else 128
+    w = int(v) if v else 128
+    if w < 1:
+        raise ValueError(f"DIAL_MPC_LANE_W must be >= 1, got {w}")
+    if w % 128 != 0 and not _use_interpret():
+        raise ValueError(
+            f"DIAL_MPC_LANE_W={w} is not a multiple of 128; on TPU the "
+            "minor-dim tile would be misaligned (use the default 128)"
+        )
+    return w
 
 
 _CORE_CACHE: dict = {}
@@ -1233,7 +1266,7 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
         block = int(override) if override else _auto_block(m)
     key = (m.pair_table, m.nq, m.nv, m.nu, m.jnt_type, m.opt.cone,
            m.opt.iterations, m.opt.disableflags, float(_const(m.opt.timestep)),
-           block, n_steps, _lanes2d(), _lane_w())
+           block, n_steps, _resolve_lanes(m), _lane_w())
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1278,8 +1311,13 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
 
     def _pallas_batched(qpos, qvel, ctrl):
         B = qpos.shape[0]
-        S = _lanes2d()
+        S = _resolve_lanes(m)
         W = _lane_w()
+        if S:
+            # don't pad small batches up to a full S*W block (e.g. a
+            # 256-sample shard on an 8-device mesh would pad 4x at S=8):
+            # cap the sublane count at what the batch actually fills
+            S = min(S, max(1, -(-B // W)))
         gran = S * W if S else block
         Bp = ((B + gran - 1) // gran) * gran
         pad = Bp - B

@@ -128,6 +128,61 @@ def test_engine_kernel_matches_xla(scene):
         )
 
 
+@pytest.mark.parametrize("scene", SCENES)
+def test_engine_kernel_lanes2d_matches_xla(scene, monkeypatch):
+    """2-D (S, W) vreg-layout kernel vs XLA reference, all scenes.
+
+    S=2, W=3 keeps interpret-mode cost tiny while exercising the layout
+    reshape/padding boundary: ceil(B/W) = 3 >= S = 2 (so the batch-size
+    cap keeps both sublanes), and gran = S*W = 6 does not divide B = 8,
+    so the batch is padded (by repeating the last sample) to 12 and
+    un-padded on the way out. The in-kernel algebra is shared with the
+    1-D layout, so this pins the dispatch/reshape path specifically (the
+    1-D path is pinned above).
+    """
+    monkeypatch.setenv("DIAL_MPC_LANES2D", "2")
+    monkeypatch.setenv("DIAL_MPC_LANE_W", "3")
+    mj, m, dB, step_b = _contact_rich_batch(scene)
+    rng = np.random.default_rng(1)
+    ctrl = jnp.asarray(_random_ctrl(mj, rng, (B,)))
+
+    core = engine_pallas.step_core_for(m, block=BLOCK)
+    outs_k = jax.jit(jax.vmap(core))(dB.qpos, dB.qvel, ctrl)
+
+    d_x = step_b(dB, ctrl)
+
+    np.testing.assert_allclose(
+        np.asarray(outs_k[0]), np.asarray(d_x.qpos), atol=1e-9, rtol=1e-9,
+        err_msg=f"{scene}: lanes2d qpos mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_k[1]), np.asarray(d_x.qvel), atol=1e-7, rtol=1e-7,
+        err_msg=f"{scene}: lanes2d qvel mismatch",
+    )
+    nbody1 = m.nbody - 1
+    np.testing.assert_allclose(
+        np.asarray(outs_k[4]).reshape(B, nbody1, 3),
+        np.asarray(d_x.x_pos),
+        atol=1e-9, rtol=1e-9, err_msg=f"{scene}: lanes2d x_pos mismatch",
+    )
+    if m.ncon:
+        np.testing.assert_allclose(
+            np.asarray(outs_k[8])[:, : m.ncon],
+            np.asarray(d_x.contact.dist),
+            atol=1e-9, rtol=1e-9, err_msg=f"{scene}: lanes2d contact dist mismatch",
+        )
+
+
+def test_lane_w_validation(monkeypatch):
+    """DIAL_MPC_LANE_W=0 must raise, not ZeroDivisionError deep in dispatch."""
+    monkeypatch.setenv("DIAL_MPC_LANE_W", "0")
+    with pytest.raises(ValueError, match="LANE_W"):
+        engine_pallas._lane_w()
+    monkeypatch.setenv("DIAL_MPC_LANES2D", "-1")
+    with pytest.raises(ValueError, match="LANES2D"):
+        engine_pallas._lanes2d()
+
+
 def test_elliptic_long_rollout_parity():
     """Allegro (elliptic cone): 200-step kernel rollout stays finite and
     tracks the XLA path. Guards the cone zone logic over long horizons."""
@@ -159,12 +214,17 @@ def test_elliptic_long_rollout_parity():
     )
 
 
-def test_fused_multistep_matches_sequential():
+@pytest.mark.parametrize("lanes2d", ["0", "2"])
+def test_fused_multistep_matches_sequential(lanes2d, monkeypatch):
     """n_steps-fused kernel (in-kernel fori_loop, VMEM carry) must match
     n_steps sequential single-step kernel calls on every output — the
     fused path is what pipeline_step runs on TPU (n_frames substeps per
-    env step). Tolerance (not bitwise): compiling the step body inside a
-    fori_loop permits different reassociation (measured ~2e-9 at f64)."""
+    env step), in BOTH lane layouts (2-D is the TPU default). Tolerance
+    (not bitwise): compiling the step body inside a fori_loop permits
+    different reassociation (measured ~2e-9 at f64)."""
+    if lanes2d != "0":
+        monkeypatch.setenv("DIAL_MPC_LANES2D", lanes2d)
+        monkeypatch.setenv("DIAL_MPC_LANE_W", "3")
     scene = "unitree_go2/mjx_scene_force.xml"
     mj, m, dB, step_b = _contact_rich_batch(scene, seed=4)
     rng = np.random.default_rng(5)
