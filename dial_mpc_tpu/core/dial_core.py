@@ -129,8 +129,6 @@ class MBDPI:
 
         rewss, pipeline_statess = self.rollout_us_vmap(state, us)
         rew_Ybar_i = rewss[-1].mean()
-        qss = pipeline_statess.qpos
-        qdss = pipeline_statess.qvel
         xss = pipeline_statess.x_pos
         rews = rewss.mean(axis=-1)
         # robustness beyond the reference: a rare exploding rollout (e.g.
@@ -154,18 +152,21 @@ class MBDPI:
         keep_plan = jnp.zeros_like(weights).at[-1].set(1.0)
         weights = jnp.where(jnp.any(finite), weights, keep_plan)
         # zero-weight samples must contribute exactly zero (0 * nan = nan)
-        qss = jnp.where(finite[:, None, None], qss, 0.0)
-        qdss = jnp.where(finite[:, None, None], qdss, 0.0)
         xss = jnp.where(finite[:, None, None, None], xss, 0.0)
         Ybar = jnp.einsum("n,nij->ij", weights, Y0s)
-        qbar = jnp.einsum("n,nij->ij", weights, qss)
-        qdbar = jnp.einsum("n,nij->ij", weights, qdss)
+        # xbar (weighted body-position rollout) feeds the prediction
+        # telemetry (runner artifact dump, deploy x_targets). The
+        # reference also reduces weighted qbar/qdbar (dial_core.py:133-140)
+        # for dial_plan.py:214's joint targets; our deploy derives joint
+        # targets from the optimized plan spline itself (act2joint of
+        # node2u(Y), deploy/planner_proc.py), so those reductions are
+        # write-only here — dropping them lets the stacked qpos/qvel
+        # rollout outputs dead-code-eliminate instead of spilling
+        # (Nsample, Hsample, nq) arrays to HBM every annealing level.
         xbar = jnp.einsum("n,nijk->ijk", weights, xss)
 
         info = {
             "rews": rews,
-            "qbar": qbar,
-            "qdbar": qdbar,
             "xbar": xbar,
             "new_noise_scale": noise_scale,
         }

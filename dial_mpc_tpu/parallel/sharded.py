@@ -65,7 +65,7 @@ class ShardedMBDPI:
                 self._reverse_once_local,
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(), P()),
-                out_specs=(P(), P(), {"rews": P(AXIS), "qbar": P(), "qdbar": P(), "xbar": P(), "new_noise_scale": P()}),
+                out_specs=(P(), P(), {"rews": P(AXIS), "xbar": P(), "new_noise_scale": P()}),
                 check_vma=False,
             )
         )
@@ -161,15 +161,14 @@ class ShardedMBDPI:
             return jax.lax.psum(local, AXIS)
 
         Ybar_new = wavg(Y0s_aug)
-        qbar = wavg(statess_aug.qpos)
-        qdbar = wavg(statess_aug.qvel)
+        # qbar/qdbar deliberately not reduced — see core/dial_core.py:
+        # nothing downstream consumes them, and dropping them DCEs the
+        # stacked qpos/qvel rollout outputs on every shard
         xbar = wavg(statess_aug.x_pos)
 
         rng = jax.random.fold_in(rng, 1)  # advance the level stream
         info = {
             "rews": rews,  # sharded (Nsample,) — mean-sample reward excluded
-            "qbar": qbar,
-            "qdbar": qdbar,
             "xbar": xbar,
             "new_noise_scale": noise_scale,
         }

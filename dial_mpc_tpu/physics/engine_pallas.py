@@ -1272,38 +1272,6 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
 
     specs = _out_specs(m)
 
-    def _xla_ref(qpos, qvel, ctrl):
-        from dial_mpc_tpu.physics import model as mlib
-        from dial_mpc_tpu.physics.forward import step as xla_step
-        from dial_mpc_tpu.physics.kinematics import replace as drep
-
-        d = mlib.make_data(m, dtype=qpos.dtype)
-        d = drep(d, qpos=qpos, qvel=qvel, ctrl=ctrl)
-        for _ in range(n_steps):
-            d = xla_step(m, d)
-        nbody1 = m.nbody - 1
-        cdist = d.contact.dist if m.ncon else jnp.zeros(1, qpos.dtype)
-        cpos = d.contact.pos if m.ncon else jnp.zeros((1, 3), qpos.dtype)
-        site_xpos = (
-            d.site_xpos.reshape(-1) if m.nsite else jnp.zeros(1, qpos.dtype)
-        )
-        site_xmat = (
-            d.site_xmat.reshape(-1) if m.nsite else jnp.zeros(1, qpos.dtype)
-        )
-        return (
-            d.qpos,
-            d.qvel,
-            site_xpos,
-            site_xmat,
-            d.x_pos.reshape(-1),
-            d.x_rot.reshape(-1),
-            d.xd_vel.reshape(-1),
-            d.xd_ang.reshape(-1),
-            cdist,
-            cpos.reshape(-1),
-            d.qacc,
-        )
-
     if n_steps == 1:
         kernel, _, _ = _build_step_kernel(m, block)
     else:
@@ -1360,7 +1328,13 @@ def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
 
     @jax.custom_batching.custom_vmap
     def core(qpos, qvel, ctrl):
-        return _xla_ref(qpos, qvel, ctrl)
+        # unbatched calls (the planner's single env advance per control
+        # step) dispatch to the kernel as a batch of one — one grid block,
+        # tens of us — instead of the scalar XLA reference step, whose
+        # thousands of serialized small ops measured 2.16 ms: more than
+        # half the whole Nsample=2048 solve
+        outs = _pallas_batched(qpos[None], qvel[None], ctrl[None])
+        return tuple(o[0] for o in outs)
 
     @core.def_vmap
     def _core_vmap(axis_size, in_batched, qpos, qvel, ctrl):

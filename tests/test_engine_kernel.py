@@ -246,3 +246,39 @@ def test_fused_multistep_matches_sequential(lanes2d, monkeypatch):
             np.asarray(seq), np.asarray(fused), atol=1e-7, rtol=1e-7,
             err_msg=f"fused output {i} != sequential",
         )
+
+
+@pytest.mark.parametrize("lanes2d", ["0", "2"])
+def test_unbatched_core_matches_xla(lanes2d, monkeypatch):
+    """The UNBATCHED core call — the planner's single env advance inside
+    control_step — dispatches to the kernel as a batch of one (one grid
+    block) rather than the scalar XLA step whose serialized small ops
+    measured 2.16 ms on TPU. Pin that path, in both lane layouts, against
+    the XLA reference step: batch-of-one padding/unpack must not corrupt
+    the single sample."""
+    if lanes2d != "0":
+        monkeypatch.setenv("DIAL_MPC_LANES2D", lanes2d)
+        monkeypatch.setenv("DIAL_MPC_LANE_W", "3")
+    scene = "unitree_go2/mjx_scene_force.xml"
+    mj, m, dB, step_b = _contact_rich_batch(scene, seed=6)
+    rng = np.random.default_rng(7)
+    ctrl = jnp.asarray(_random_ctrl(mj, rng, (B,)))
+
+    core = engine_pallas.step_core_for(m, block=BLOCK)
+    outs_1 = jax.jit(core)(dB.qpos[0], dB.qvel[0], ctrl[0])
+
+    d_x = step_b(dB, ctrl)
+    np.testing.assert_allclose(
+        np.asarray(outs_1[0]), np.asarray(d_x.qpos[0]), atol=1e-9, rtol=1e-9,
+        err_msg="unbatched qpos mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_1[1]), np.asarray(d_x.qvel[0]), atol=1e-7, rtol=1e-7,
+        err_msg="unbatched qvel mismatch",
+    )
+    nbody1 = m.nbody - 1
+    np.testing.assert_allclose(
+        np.asarray(outs_1[4]).reshape(nbody1, 3),
+        np.asarray(d_x.x_pos[0]),
+        atol=1e-9, rtol=1e-9, err_msg="unbatched x_pos mismatch",
+    )
