@@ -5,7 +5,11 @@ metric BASELINE.md is judged on):
 
   1. Go2 trot @ Nsample=2048, Ndiffuse=2 — the reference's sync config
      (examples/unitree_go2_trot.yaml), kept for round-over-round history.
-  2. Go2 seq-jump @ Nsample=8192, Ndiffuse=1 — the north-star deploy
+  2. Same trot solve through ShardedMBDPI on a 1-device mesh — the
+     shard_map + psum/pmax composition a pod executes (on TPU the Pallas
+     mega-kernel runs INSIDE shard_map here); the delta vs metric 1 is
+     the sharding overhead on the current kernel build.
+  3. Go2 seq-jump @ Nsample=8192, Ndiffuse=1 — the north-star deploy
      solve (BASELINE.md: >= 50 Hz at >= 8k samples;
      examples/unitree_go2_seq_jump_deploy.yaml shapes).
 
@@ -28,6 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: TPU compiles go through a serialized remote
+# helper (30 s - 10 min each); the cache makes repeat runs near-instant
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_HZ = 50.0
 N_TRIALS = 5
 N_TIMED = 20
@@ -46,13 +58,18 @@ def _kernel_config():
     }
 
 
-def measure(dial_cfg, env_cfg, n_trials=N_TRIALS, n_timed=N_TIMED):
-    """Median pipelined/blocked solve Hz over n_trials independent trials."""
+def measure(dial_cfg, env_cfg, n_trials=N_TRIALS, n_timed=N_TIMED,
+            make_planner=None):
+    """Median pipelined/blocked solve Hz over n_trials independent trials.
+
+    make_planner(dial_cfg, env) -> planner with the MBDPI control_step
+    surface; default builds the unsharded MBDPI.
+    """
     import dial_mpc_tpu.envs as dial_envs
     from dial_mpc_tpu.core.dial_core import MBDPI
 
     env = dial_envs.get_environment(dial_cfg.env_name, env_cfg)
-    mbdpi = MBDPI(dial_cfg, env)
+    mbdpi = (make_planner or (lambda c, e: MBDPI(c, e)))(dial_cfg, env)
     nd = dial_cfg.Ndiffuse
 
     rng = jax.random.PRNGKey(0)
@@ -67,7 +84,16 @@ def measure(dial_cfg, env_cfg, n_trials=N_TRIALS, n_timed=N_TIMED):
 
     pipelined, blocked = [], []
     for _ in range(n_trials):
-        # one host<->device transfer, measured so it can be subtracted
+        # One host<->device transfer, measured so it can be subtracted.
+        # Must be timed on a FRESH, never-fetched result: jax.Array caches
+        # its host copy, so re-fetching an already-fetched array is ~0 and
+        # the real readback would stay inside the timed window (inflating
+        # per-call time by xfer/n_timed). Dispatch one step, let the device
+        # drain (block_until_ready under-blocks through the tunnel, hence
+        # the sleep), then time the pure readback.
+        state, Y, rng, _ = mbdpi.control_step(state, Y, rng, nd)
+        jax.block_until_ready(Y)
+        time.sleep(0.05)
         t0 = time.perf_counter()
         np.asarray(Y)
         xfer_s = time.perf_counter() - t0
@@ -134,7 +160,29 @@ def main():
     p, b = measure(trot, trot_env_cfg)
     _report("go2_trot_solve_hz_nsample2048_ndiffuse2", p, b)
 
-    # 2. north-star metric (BASELINE.md): the seq-jump deploy solve
+    # 2. sharded path: ShardedMBDPI on a 1-device mesh, same trot shapes.
+    #    Two things at once: (a) quantifies the shard_map + collective
+    #    overhead vs metric 1 on the current kernel build; (b) on TPU this
+    #    dispatches the Pallas mega-kernel INSIDE shard_map — the exact
+    #    composition a multi-chip pod executes, measured on real hardware.
+    from dial_mpc_tpu.parallel import ShardedMBDPI, make_sample_mesh
+
+    mesh = make_sample_mesh(jax.devices()[:1])
+    p, b = measure(
+        trot,
+        trot_env_cfg,
+        make_planner=lambda c, e: ShardedMBDPI(c, e, mesh),
+    )
+    _report(
+        "go2_trot_sharded_mesh1_solve_hz_nsample2048_ndiffuse2",
+        p,
+        b,
+        extra={
+            "baseline": "overhead vs the unsharded metric 1; pallas-in-shard_map"
+        },
+    )
+
+    # 3. north-star metric (BASELINE.md): the seq-jump deploy solve
     #    (shipped YAML shapes: Hsample=20, Hnode=5, Ndiffuse=1) at 8k samples
     with open(get_example_path("unitree_go2_seq_jump_deploy.yaml")) as f:
         cfg_dict = yaml.safe_load(f)

@@ -78,6 +78,11 @@ class MBDPublisher:
         self.default_q = mj.keyframe("home").qpos
         self.default_u = mj.keyframe("home").ctrl
 
+        # viz-ref body count for the packed per-tick transfer: xbar covers
+        # nbody-1 bodies (world excluded); the refs segment wants nu rows
+        # starting after the trunk
+        self._nb = min(mj.nu, mj.nbody - 2)
+
         self.bus = ShmBus(self.nq + self.nv, self.nu, self.n_acts, create=False)
         self.bus.acts[:] = self.default_u
         self.bus.refs[:] = 1.0
@@ -116,7 +121,14 @@ class MBDPublisher:
     # -- single-program per-tick solve --------------------------------------
 
     def _plan(self, state, Y, rng, shift_time, n_diffuse):
-        """shift + anneal + extract controls, all on device."""
+        """shift + anneal + extract controls, all on device.
+
+        Everything the shm bus needs per tick is packed into ONE flat f32
+        vector on device: through the remote-TPU tunnel a device_get costs
+        a ~10-30 ms round trip *per array*, so fetching joint targets,
+        torques and viz refs separately tripled the readback. The host
+        unpacks by the static layout (n_acts*nu | n_acts*nu | n_acts*nb*3).
+        """
         Y = self.node_shift.shift(Y, shift_time)
 
         def reverse_scan(carry, factor):
@@ -131,7 +143,15 @@ class MBDPublisher:
         joint_targets = self.env.act2joint(us)
         taus = self.env.act2tau(us, state.pipeline_state)
         x_targets = info["xbar"][-1]
-        return Y, rng, joint_targets, taus, x_targets
+        refs = x_targets[: self.n_acts, 1 : 1 + self._nb, :3]
+        packed = jnp.concatenate(
+            [
+                joint_targets[: self.n_acts].reshape(-1),
+                taus[: self.n_acts].reshape(-1),
+                refs.reshape(-1),
+            ]
+        ).astype(jnp.float32)
+        return Y, rng, packed
 
     # -- state injection (reference: dial_plan.py:141-155) ------------------
 
@@ -193,19 +213,17 @@ class MBDPublisher:
             plan_fn = self._plan_init if is_first else self._plan_warm
             if is_first and verbose:
                 print("Compiling DIAL-MPC solve")
-            self.Y, self.rng, joint_targets, taus, x_targets = plan_fn(
+            self.Y, self.rng, packed = plan_fn(
                 state, self.Y, self.rng, jnp.float32(shift_time)
             )
 
-            # one batched host transfer for everything the bus needs
+            # ONE host transfer for everything the bus needs
             # (Y/rng stay on device for the next tick)
-            joint_targets, taus, x_targets = jax.device_get(
-                (joint_targets, taus, x_targets)
-            )
-            self.bus.acts[:] = joint_targets[: self.n_acts]
-            self.bus.tau[:] = taus[: self.n_acts]
-            nb = min(self.bus.refs.shape[1], x_targets.shape[1] - 1)
-            self.bus.refs[:, :nb, :] = x_targets[: self.n_acts, 1 : 1 + nb, :3]
+            packed = np.asarray(packed)
+            na, nu, nb = self.n_acts, self.nu, self._nb
+            self.bus.acts[:] = packed[: na * nu].reshape(na, nu)
+            self.bus.tau[:] = packed[na * nu : 2 * na * nu].reshape(na, nu)
+            self.bus.refs[:, :nb, :] = packed[2 * na * nu :].reshape(na, nb, 3)
             self.bus.plan_time[0] = plan_time
             last_plan_time = plan_time
             iters += 1

@@ -105,8 +105,40 @@ class DialSim:
                     show_right_ui=False,
                 )
                 self._init_ref_overlay()
+                self._init_env_overlay(dial_config, env_config)
             except Exception as e:  # headless environment
                 print(f"[WARN] viewer unavailable ({e}); running headless")
+
+    # -- env-specific static overlay (e.g. seq-jump contact targets) --------
+
+    def _init_env_overlay(self, dial_config, env_config):
+        """Call the env's ``update_viewer`` hook, if it defines one.
+
+        The reference declares the same hook (contact-target cylinders,
+        reference unitree_go2_env.py:633-646) but never calls it from any
+        process — dead code there. Here the actuation host invokes it once
+        at viewer setup so sim2sim seq-jump shows the staged jump targets.
+
+        Constructing the env pulls in the JAX stack, so pin JAX to the CPU
+        backend first: the sim process must never initialize the TPU the
+        planner process owns (and the overlay math is a handful of floats).
+        """
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            import dial_mpc_tpu.envs as dial_envs
+
+            try:
+                env_cls = dial_envs.get_env_class(dial_config.env_name)
+            except ValueError:
+                return
+            if getattr(env_cls, "update_viewer", None) is None:
+                return
+            env = env_cls(env_config)
+            env.update_viewer(self.viewer)
+        except Exception as e:
+            print(f"[WARN] env viewer overlay unavailable ({e})")
 
     # -- predicted-trajectory overlay (reference: dial_sim.py:156-198) ------
 

@@ -113,6 +113,46 @@ def test_publisher_no_retrace_and_steady_state_latency():
         bus.close()
 
 
+def test_env_viewer_overlay_hook():
+    """The sim server invokes env.update_viewer at viewer setup.
+
+    The reference defines the same hook (contact-target cylinders,
+    reference unitree_go2_env.py:633-646) but never calls it from any
+    process. Here a fake viewer backed by a real MjvScene must receive
+    the seq-jump contact-target cylinder geoms.
+    """
+    import types
+
+    import mujoco
+    import yaml
+
+    import dial_mpc_tpu.envs as dial_envs
+    from dial_mpc_tpu.core.dial_config import DialConfig
+    from dial_mpc_tpu.deploy.sim_server import DialSim, DialSimConfig
+    from dial_mpc_tpu.utils.io_utils import (
+        get_example_path,
+        load_dataclass_from_dict,
+    )
+
+    with open(get_example_path("unitree_go2_seq_jump_deploy.yaml")) as f:
+        cfgd = yaml.safe_load(f)
+    dial_cfg = load_dataclass_from_dict(DialConfig, cfgd)
+    env_cfg = load_dataclass_from_dict(
+        dial_envs.get_config(dial_cfg.env_name), cfgd, convert_list_to_array=True
+    )
+    sim_cfg = load_dataclass_from_dict(DialSimConfig, cfgd)
+    sim_cfg.headless = True
+    sim = DialSim(sim_cfg, env_cfg, dial_cfg, max_steps=1)
+    try:
+        scene = mujoco.MjvScene(sim.mj_model, maxgeom=1000)
+        sim.viewer = types.SimpleNamespace(user_scn=scene)
+        sim._init_env_overlay(dial_cfg, env_cfg)
+        assert scene.ngeom > 0, "seq-jump contact targets were not drawn"
+    finally:
+        sim.viewer = None
+        sim.close()
+
+
 SIM_SCRIPT = """
 import sys; sys.path.insert(0, {repo!r})
 from dial_mpc_tpu.deploy.sim_server import DialSim, DialSimConfig

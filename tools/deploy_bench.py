@@ -14,8 +14,10 @@ MBDPublisher itself (steady-state histogram only). On the remote-TPU
 tunnel the per-tick device_get adds ~30 ms that co-located hardware
 does not pay; README.md quotes both numbers.
 
-Usage: python tools/deploy_bench.py [example] [ticks]
-       (default: unitree_go2_seq_jump_deploy, 300)
+Usage: python tools/deploy_bench.py [example] [ticks] [nsample]
+       (default: unitree_go2_seq_jump_deploy, 300, the YAML's Nsample;
+       nsample overrides it, e.g. 8192 for the BASELINE.md north-star
+       shape)
 """
 
 import os
@@ -46,6 +48,10 @@ def main():
     with open(get_example_path(example + ".yaml")) as f:
         config_dict = yaml.safe_load(f)
     dial_config = load_dataclass_from_dict(DialConfig, config_dict)
+    if len(sys.argv) > 3:
+        import dataclasses
+
+        dial_config = dataclasses.replace(dial_config, Nsample=int(sys.argv[3]))
     env_config = load_dataclass_from_dict(
         dial_envs.get_config(dial_config.env_name), config_dict,
         convert_list_to_array=True,

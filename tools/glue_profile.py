@@ -38,14 +38,26 @@ N_TIMED = 20
 
 
 def timed(fn, *args):
-    """Median-of-3 pipelined seconds per call, transfer-subtracted."""
+    """Median-of-3 pipelined seconds per call, transfer-subtracted.
+
+    The transfer probe must be a FRESH, never-fetched output: jax.Array
+    caches its host copy (_npy_value), so re-fetching an already-fetched
+    array times ~0 and the real per-round device_get (~10-30 ms on the
+    tunnel) would stay inside the timed window, inflating every per-call
+    figure by ~xfer/N_TIMED. Dispatch one extra call, let the device
+    drain (block_until_ready under-blocks through the tunnel, hence the
+    sleep), then time the pure readback of that new result.
+    """
     out = fn(*args)
-    probe = jax.tree.leaves(out)[0]
-    np.asarray(probe)  # compile + settle
+    np.asarray(jax.tree.leaves(out)[0])  # compile + settle
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])
     meds = []
     for _ in range(3):
+        out = fn(*args)
+        probe = jax.tree.leaves(out)[0]
+        jax.block_until_ready(probe)
+        time.sleep(0.05)
         t0 = time.perf_counter()
         np.asarray(probe)
         xfer = time.perf_counter() - t0
