@@ -1050,13 +1050,36 @@ def _build_step_kernel(m: Model, block: int):
                 cpos_out[ix(i)] = zero
 
     def kernel(qpos_ref, qvel_ref, ctrl_ref, *out_refs):
-        qp = [qpos_ref[i] for i in range(nq)]
-        qv = [qvel_ref[i] for i in range(nv)]
-        ct = [ctrl_ref[i] for i in range(nu)]
+        cdt = _compute_dtype(qpos_ref.dtype)
+        qp = [qpos_ref[i].astype(cdt) for i in range(nq)]
+        qv = [qvel_ref[i].astype(cdt) for i in range(nv)]
+        ct = [ctrl_ref[i].astype(cdt) for i in range(nu)]
         qp_new, qv_new, o = step_lanes(qp, qv, ct)
+        qp_new, qv_new, o = _cast_outs(qp_new, qv_new, o, out_refs[0].dtype)
         write_outs(o, qp_new, qv_new, *out_refs)
 
     return kernel, step_lanes, write_outs
+
+
+def _compute_dtype(in_dtype):
+    """In-kernel compute dtype for a given ref dtype.
+
+    The baked model constants are f64-exact numpy scalars; with x64
+    enabled (the CPU oracle/interpret test config) they promote f32
+    inputs to f64 mid-kernel, which would fail the final f32 ref store —
+    so compute uniformly in f64 there and cast at the store. With x64
+    disabled (the production TPU config) the constants demote to f32 and
+    both casts are no-ops.
+    """
+    import jax.numpy as _jnp
+
+    return _jnp.float64 if jax.config.jax_enable_x64 else in_dtype
+
+
+def _cast_outs(qp_new, qv_new, o, out_dtype):
+    """Cast kernel results to the output-ref dtype (no-op when equal)."""
+    cast = lambda x: x.astype(out_dtype) if hasattr(x, "astype") else x
+    return jax.tree.map(cast, (qp_new, qv_new, o))
 
 
 def _build_multistep_kernel(m: Model, block: int, n_steps: int):
@@ -1071,9 +1094,10 @@ def _build_multistep_kernel(m: Model, block: int, n_steps: int):
     nq, nv, nu = m.nq, m.nv, m.nu
 
     def kernel(qpos_ref, qvel_ref, ctrl_ref, *out_refs):
-        qp = [qpos_ref[i] for i in range(nq)]
-        qv = [qvel_ref[i] for i in range(nv)]
-        ct = [ctrl_ref[i] for i in range(nu)]
+        cdt = _compute_dtype(qpos_ref.dtype)
+        qp = [qpos_ref[i].astype(cdt) for i in range(nq)]
+        qv = [qvel_ref[i].astype(cdt) for i in range(nv)]
+        ct = [ctrl_ref[i].astype(cdt) for i in range(nu)]
         if n_steps > 1:
             if os.environ.get("DIAL_MPC_FUSE_UNROLL", "0") == "1":
                 # straight-line variant (larger compile, better Mosaic
@@ -1093,6 +1117,7 @@ def _build_multistep_kernel(m: Model, block: int, n_steps: int):
                 )
                 qp, qv = list(carry[:nq]), list(carry[nq:])
         qp_new, qv_new, o = step_lanes(qp, qv, ct)
+        qp_new, qv_new, o = _cast_outs(qp_new, qv_new, o, out_refs[0].dtype)
         write_outs(o, qp_new, qv_new, *out_refs)
 
     return kernel
@@ -1256,10 +1281,15 @@ def _out_specs(m: Model):
 def step_core_for(m: Model, block: int | None = None, n_steps: int = 1):
     """custom_vmap step core: (qpos, qvel, ctrl) -> tuple of outputs.
 
-    Scalar calls run the XLA reference step; vmapped calls dispatch to the
-    lane-major mega-kernel. n_steps > 1 fuses that many substeps (constant
-    ctrl) into ONE kernel call — outputs come from the final substep,
-    matching n_steps sequential calls exactly.
+    Both scalar and vmapped calls dispatch to the lane-major mega-kernel;
+    an unbatched call runs as a batch of one (a single grid block — tens
+    of microseconds — versus the ~2 ms the scalar XLA op-by-op step used
+    to cost, which dominated the planner's env advance). The XLA
+    reference implementation lives in physics/forward.py and is pinned
+    against this kernel by tests/test_engine_kernel.py. n_steps > 1 fuses
+    that many substeps (constant ctrl) into ONE kernel call — outputs
+    come from the final substep, matching n_steps sequential calls
+    exactly.
     """
     if block is None:
         override = os.environ.get("DIAL_MPC_BLOCK")

@@ -55,6 +55,60 @@ def test_mesh_shape_invariance(setup):
     np.testing.assert_allclose(info1["xbar"], info8["xbar"], atol=1e-3)
 
 
+def test_sharded_pallas_kernel_matches_xla(setup, monkeypatch):
+    """Pallas mega-kernel dispatched INSIDE shard_map — the composition a
+    real pod executes (`ShardedMBDPI._reverse_once_local` on a v5e-16
+    dispatches the kernel per shard). Interpret mode, tiny lane layout;
+    pinned against the XLA-engine sharded result and for mesh invariance
+    under the kernel path.
+
+    Engine choice is baked at trace time, so each run builds a fresh
+    planner (fresh jit caches) and clears the kernel core cache.
+    """
+    from dial_mpc_tpu.physics import engine_pallas, solver
+
+    _, env = setup
+    # short horizon: the composition under certification (kernel dispatch
+    # inside shard_map) is horizon-independent, and each engine variant
+    # costs a full interpret-mode planner compile — Hsample=4 keeps the
+    # three compiles affordable on the CPU test runner
+    cfg = DialConfig(
+        env_name="unitree_go2_walk",
+        Nsample=16,
+        Hsample=4,
+        Hnode=2,
+        Ndiffuse=1,
+    )
+    # tiny 2-D lane layout: per-shard batch is local+1 = 3 rows at 8
+    # devices; (S=1, W=4) pads 3 -> 4 instead of a full 1-D block
+    monkeypatch.setenv("DIAL_MPC_LANES2D", "1")
+    monkeypatch.setenv("DIAL_MPC_LANE_W", "4")
+
+    def run(engine, n_devices):
+        monkeypatch.setenv("DIAL_MPC_ENGINE", engine)
+        monkeypatch.setenv("DIAL_MPC_PALLAS", "1" if engine == "pallas" else "0")
+        engine_pallas._CORE_CACHE.clear()
+        solver._CORE_CACHE.clear()
+        try:
+            return _run(cfg, env, n_devices, n_levels=1)
+        finally:
+            engine_pallas._CORE_CACHE.clear()
+            solver._CORE_CACHE.clear()
+
+    Y_pallas, info_pallas = run("pallas", 8)
+    Y_pallas1, _ = run("pallas", 1)
+    Y_xla, info_xla = run("xla", 8)
+
+    assert np.all(np.isfinite(Y_pallas))
+    # kernel-vs-XLA parity through 17 rollout steps + softmax weighting
+    np.testing.assert_allclose(Y_pallas, Y_xla, atol=1e-5)
+    np.testing.assert_allclose(
+        info_pallas["rews"], info_xla["rews"], atol=1e-5
+    )
+    # mesh invariance must hold under the kernel path too
+    np.testing.assert_allclose(Y_pallas, Y_pallas1, atol=1e-4)
+
+
 def test_sharded_plan_is_finite_and_nontrivial(setup):
     cfg, env = setup
     Y, info = _run(cfg, env, 8)
