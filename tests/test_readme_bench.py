@@ -64,8 +64,8 @@ def _readme_bands():
         text = f.read()
     bands = {}
     for label in ROWS:
-        # | label | **637** | 349-679 | 478-796 | ...
-        pat = re.escape(label) + r"\s*\|[^|]*\|[^|]*\|\s*(\d+)-(\d+)\s*\|"
+        # | label | **637**, 719 | 510-860 | ...
+        pat = re.escape(label) + r"\s*\|[^|]*\|\s*(\d+)-(\d+)\s*\|"
         m = re.search(pat, text)
         if m:
             bands[label] = (float(m.group(1)), float(m.group(2)))
