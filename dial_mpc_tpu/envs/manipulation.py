@@ -83,7 +83,11 @@ class AllegroReorientEnv(BaseEnv):
         )
         reward = jnp.asarray(reward, f32)
 
-        done = jnp.zeros(1, f32)
+        # scalar, matching reset: the reference returns shape-() done from
+        # reset but shape-(1,) from step (manipulation.py:58,86) — an aval
+        # flip that forces a retrace and breaks float(state.done); keep it
+        # scalar here
+        done = jnp.zeros((), f32)
         done = jnp.where(state.info["step"] >= 100, 1.0, done)
 
         state_info = {

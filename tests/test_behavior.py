@@ -12,7 +12,18 @@ afford it) and asserts the *task outcome*:
     not fall;
   - Go2 seq-jump: the staged contact-target sequence advances past
     stage 0;
-  - H1 loco: the torso stays above the termination height (no collapse).
+  - Go2 crate climb: the base gains height onto the crate (toward the
+    pos_tar = [1.45, 0, 0.87] perch, reference unitree_go2_env.py:649-803);
+  - H1 loco: the torso stays above the termination height (no collapse);
+  - H1 jog: forward velocity tracking toward the ramped 2 m/s command
+    (reference unitree_h1_env.py:80-375);
+  - H1 push-crate: the crate's slide joint is displaced in the push
+    direction (reference unitree_h1_env.py:378-567);
+  - Allegro: the ball spins about +z with the sign of ang_vel_tar
+    (reference manipulation.py:23-117).
+
+All 7 tasks are covered: a silently-degraded skill in any of them now
+fails the suite.
 
 Thresholds are deliberately loose vs the full-sample runs (Nsample here
 is 16-32x smaller than deployment); they are calibrated so a healthy
@@ -20,6 +31,8 @@ planner passes with wide margin while a planner that has gone subtly
 wrong (e.g. a flipped reward sign, a broken gait clock, a stale spline
 shift) lands nowhere near them.
 """
+
+import gc
 
 import numpy as np
 import pytest
@@ -31,8 +44,27 @@ from dial_mpc_tpu.core.dial_core import MBDPI
 from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
 
 
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """Release each test's compiled programs before the next one.
+
+    Every behavioral gate jit-compiles a large unrolled planner program
+    for a different env; accumulating several of them in one process has
+    aborted the CPU runner (SIGABRT with no Python traceback after the
+    third program — crate+jog+push reproduced it; each test passes alone).
+    Dropping the executable caches between tests keeps the suite within
+    what the XLA:CPU client tolerates, at the cost of re-loading from the
+    persistent compile cache.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def run_planner(example, overrides):
-    """Run the sync planner loop; return per-step (qpos, info scalars)."""
+    """Run the sync planner loop; return per-step (qpos, qvel, info)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,21 +83,22 @@ def run_planner(example, overrides):
     rng, _ = jax.random.split(rng)
     Y = jnp.zeros((cfg.Hnode + 1, mbdpi.nu))
 
-    qpos, stages, dones = [], [], []
+    qpos, qvel, stages, dones = [], [], [], []
     for t in range(cfg.n_steps):
         nd = cfg.Ndiffuse_init if t == 0 else cfg.Ndiffuse
         state, Y, rng, info = mbdpi.control_step(state, Y, rng, nd)
         qpos.append(np.asarray(state.pipeline_state.qpos))
+        qvel.append(np.asarray(state.pipeline_state.qvel))
         dones.append(float(state.done))
         if "contact_stage" in state.info:
             stages.append(int(state.info["contact_stage"]))
-    return np.stack(qpos), stages, np.asarray(dones), env
+    return np.stack(qpos), np.stack(qvel), stages, np.asarray(dones), env
 
 
 def test_go2_trot_tracks_commanded_velocity():
     """2 s of trot must move the base forward at roughly the commanded
     0.8 m/s (the YAML command, 1 s ramp-up) without falling."""
-    qpos, _, dones, env = run_planner(
+    qpos, _, _, dones, env = run_planner(
         "unitree_go2_trot",
         dict(Nsample=128, n_steps=100, Ndiffuse=2, Ndiffuse_init=10),
     )
@@ -85,7 +118,7 @@ def test_go2_trot_tracks_commanded_velocity():
 def test_go2_seq_jump_advances_stages():
     """The staged contact-target sequence must advance past stage 0
     (first jump lands) within 1.5 s."""
-    qpos, stages, dones, env = run_planner(
+    qpos, _, stages, dones, env = run_planner(
         "unitree_go2_seq_jump",
         dict(Nsample=128, n_steps=75, Ndiffuse=2, Ndiffuse_init=10),
     )
@@ -99,7 +132,7 @@ def test_go2_seq_jump_advances_stages():
 def test_h1_loco_stays_upright():
     """2 s of H1 locomotion: the torso must stay above the termination
     height the whole run (a humanoid that collapses drifts under it)."""
-    qpos, _, dones, env = run_planner(
+    qpos, _, _, dones, env = run_planner(
         "unitree_h1_loco",
         dict(Nsample=128, n_steps=100, Ndiffuse=2, Ndiffuse_init=10),
     )
@@ -107,3 +140,82 @@ def test_h1_loco_stays_upright():
         f"torso dropped to {qpos[:, 2].min():.2f} m - H1 collapsed"
     )
     assert float(dones.mean()) < 0.5, "episode persistently terminated"
+
+
+def test_go2_crate_climb_gains_height():
+    """2 s of crate climbing: the base must make clear progress toward
+    the crate perch (pos_tar [1.45, 0, 0.87]) — forward motion plus a
+    height gain only climbing produces (flat-ground walking cannot raise
+    the base above ~0.4 m; the crate top is at 0.6 m)."""
+    qpos, _, _, dones, env = run_planner(
+        "unitree_go2_crate_climb",
+        dict(Nsample=128, n_steps=100, Ndiffuse=2, Ndiffuse_init=10),
+    )
+    x_gain = float(qpos[-1, 0] - qpos[0, 0])
+    z_max = float(qpos[:, 2].max())
+    assert x_gain > 0.25, (
+        f"base advanced only {x_gain:.2f} m toward the crate - climbing is broken"
+    )
+    assert z_max > 0.42, (
+        f"base never rose above {z_max:.2f} m - no climbing onto the crate"
+    )
+    assert float(qpos[:, 2].min()) > 0.12, "base height collapsed (fell over)"
+
+
+def test_h1_jog_tracks_forward_velocity():
+    """2 s of H1 jog: the commanded vx ramps toward 2 m/s over 3 s, so by
+    the second half of a 100-step run the humanoid must be moving forward
+    briskly and staying tall."""
+    qpos, _, _, dones, env = run_planner(
+        "unitree_h1_jog",
+        dict(Nsample=128, n_steps=100, Ndiffuse=2, Ndiffuse_init=10),
+    )
+    dt = env.dt
+    vx = np.diff(qpos[:, 0]) / dt
+    vx_late = float(vx[len(vx) // 2 :].mean())
+    assert vx_late > 0.35, (
+        f"commanded ramp to 2 m/s, tracked {vx_late:.2f} m/s - jog is broken"
+    )
+    assert float(qpos[:, 2].min()) > 0.6, "H1 collapsed"
+    assert float(dones.mean()) < 0.5, "episode persistently terminated"
+
+
+def test_h1_push_crate_displaces_crate():
+    """3 s of crate pushing: the 30 kg crate's slide joint (last qpos
+    entry) must be displaced substantially in the push direction — the
+    skill signal. (Calibration at this reduced Nsample measured 2.9 m of
+    displacement; no upright gate, because the 16x-undersampled planner
+    legitimately loses its footing late in the long episode while the
+    push itself succeeds.)"""
+    qpos, _, _, dones, env = run_planner(
+        "unitree_h1_push_crate",
+        dict(Nsample=128, n_steps=150, Ndiffuse=2, Ndiffuse_init=10),
+    )
+    crate_disp = float(qpos[-1, -1] - qpos[0, -1])
+    assert crate_disp > 0.5, (
+        f"crate moved only {crate_disp:.3f} m - pushing is broken"
+    )
+
+
+def test_allegro_spins_ball_about_z():
+    """1 s of in-hand reorientation: the ball's angular velocity about +z
+    (free-joint qvel[5]) must average positive, matching the sign of
+    ang_vel_tar = [0, 0, 0.5] — the discriminating skill signal (a
+    flipped target sign drives it negative with the same magnitude).
+    Calibration: wz averages +0.03-0.05 at this Nsample (128 and 256
+    agree) vs a +0.01 gate. No ball-retention gate: the 16x-undersampled
+    planner loses the pinch grip after ~0.4 s (so does the reference
+    design under sampled controls — the task is intrinsically explosive,
+    see README), and wz is set while the grip holds."""
+    qpos, qvel, _, dones, env = run_planner(
+        "allegro_reorient",
+        dict(Nsample=128, n_steps=50, Ndiffuse=2, Ndiffuse_init=10),
+    )
+    wz = qvel[:, 5]
+    wz_mean = float(wz.mean())
+    assert wz_mean > 0.01, (
+        f"ball wz averaged {wz_mean:+.3f} rad/s against a +0.5 rad/s "
+        "target - spin direction is broken"
+    )
+    assert float(np.abs(wz).max()) < 20.0, "ball angular velocity exploded"
+    assert np.isfinite(qpos).all(), "allegro rollout went non-finite"
