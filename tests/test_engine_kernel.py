@@ -39,6 +39,21 @@ BLOCK = 8  # tiny lane block: interpret mode has no 128-lane minimum
 SETTLE = 5  # XLA steps rolled first so contacts are active
 
 
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """Release each test's compiled programs before the next one.
+
+    The interpret-mode mega-kernel programs are enormous (tens of
+    thousands of traced ops per scene at f64); letting six scenes' worth
+    accumulate in one process has pushed the suite past 95 GB RSS and
+    aborted the XLA:CPU runner. Recompiles hit the persistent cache.
+    """
+    yield
+    jax.clear_caches()
+    engine_pallas._CORE_CACHE.clear()
+
+
+
 def _random_ctrl(mj, rng, shape):
     """Random controls respecting ctrlrange for position actuators."""
     lo = mj.actuator_ctrlrange[:, 0].copy()

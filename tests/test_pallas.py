@@ -18,6 +18,16 @@ from dial_mpc_tpu.physics import solver
 from dial_mpc_tpu.physics.forward import step as fstep
 
 
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """Release compiled programs between tests (see test_engine_kernel.py:
+    accumulated interpret-mode kernels have aborted the XLA:CPU runner)."""
+    yield
+    jax.clear_caches()
+    solver._CORE_CACHE.clear()
+
+
+
 @pytest.fixture
 def go2_batch():
     mj = mujoco.MjModel.from_xml_path(

@@ -94,6 +94,9 @@ def test_sharded_pallas_kernel_matches_xla(setup, monkeypatch):
         finally:
             engine_pallas._CORE_CACHE.clear()
             solver._CORE_CACHE.clear()
+            # each engine variant is a full planner program; keeping three
+            # of them live has aborted the XLA:CPU runner on RSS growth
+            jax.clear_caches()
 
     Y_pallas, info_pallas = run("pallas", 8)
     Y_pallas1, _ = run("pallas", 1)
