@@ -10,6 +10,22 @@ import yaml
 import dial_mpc_tpu.envs as dial_envs
 from dial_mpc_tpu.utils.io_utils import get_example_path, load_dataclass_from_dict
 
+
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """Release each case's compiled planner programs before the next.
+
+    Seven planner programs in one process push the XLA:CPU client into
+    fatal territory (observed: segfault inside the persistent-cache
+    executable serializer under memory pressure). Recompiles are served
+    by the persistent cache.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 # env name -> shipped example config (the reference configures envs through
 # these YAMLs; some envs, e.g. seq_jump, have no usable defaults)
 ENV_EXAMPLES = {

@@ -14,6 +14,22 @@ import pytest
 
 from golden_utils import GOLDEN_CASES, run_case
 
+
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """Release each case's compiled planner programs before the next.
+
+    Seven planner programs in one process push the XLA:CPU client into
+    fatal territory (observed: segfault inside the persistent-cache
+    executable serializer under memory pressure). Recompiles are served
+    by the persistent cache.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
