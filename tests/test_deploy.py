@@ -65,10 +65,22 @@ def test_publisher_sharded_mesh():
             pub.main_loop(max_iters=3, verbose=False)
             taus = np.array(pub.bus.tau)
             acts = np.array(pub.bus.acts)
+            refs = np.array(pub.bus.refs)
         finally:
             pub.close()
         assert np.isfinite(taus).all() and np.isfinite(acts).all()
         assert np.abs(taus).max() > 0.0, "sharded planner published empty torques"
+        # the packed single-transfer layout must land real body positions in
+        # the refs segment (bus init fills it with 1.0; a reshape slip would
+        # leave it untouched or scramble magnitudes)
+        nb = pub._nb
+        assert np.isfinite(refs).all()
+        assert not np.allclose(refs[:, :nb, :], 1.0), (
+            "viz refs were never written by the packed transfer"
+        )
+        assert np.abs(refs[:, :nb, 2]).max() < 2.0, (
+            "refs z out of range - packed layout reshape is misaligned"
+        )
     finally:
         bus.close()
 
